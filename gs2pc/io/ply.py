@@ -1,0 +1,341 @@
+"""PLY reading/writing — dependency-free numpy codec.
+
+Reference parity: gauss_dataloader.py:16-82 (load_ply_data) and :118-202
+(save_xyz_to_ply).  The reference depends on the ``plyfile`` package; gs2pc
+implements the binary/ascii PLY vertex-element codec directly with
+numpy structured dtypes (vectorised, zero-copy for binary little-endian).
+"""
+
+from __future__ import annotations
+
+import io
+import os
+from typing import Iterable, Optional
+
+import numpy as np
+
+_PLY_TYPES = {
+    "char": "i1",
+    "int8": "i1",
+    "uchar": "u1",
+    "uint8": "u1",
+    "short": "i2",
+    "int16": "i2",
+    "ushort": "u2",
+    "uint16": "u2",
+    "int": "i4",
+    "int32": "i4",
+    "uint": "u4",
+    "uint32": "u4",
+    "float": "f4",
+    "float32": "f4",
+    "double": "f8",
+    "float64": "f8",
+}
+
+
+class PlyElement:
+    def __init__(self, name: str, count: int):
+        self.name = name
+        self.count = count
+        self.properties: list[tuple[str, str]] = []  # (name, numpy dtype str)
+        self.data: Optional[np.ndarray] = None
+
+    def __getitem__(self, prop: str) -> np.ndarray:
+        return self.data[prop]
+
+    @property
+    def property_names(self) -> list[str]:
+        return [p[0] for p in self.properties]
+
+
+def read_ply(path: str) -> dict[str, PlyElement]:
+    """Parse a PLY file; returns elements keyed by name.
+
+    Supports binary_little_endian, binary_big_endian and ascii formats with
+    scalar properties (list properties are only needed for faces; vertex
+    clouds — the only thing the pipeline reads — never use them).
+    """
+    with open(path, "rb") as fh:
+        magic = fh.readline().strip()
+        if magic != b"ply":
+            raise AttributeError(f"{path} is not a PLY file")
+
+        fmt = None
+        elements: list[PlyElement] = []
+        while True:
+            line = fh.readline()
+            if not line:
+                raise AttributeError("Unexpected EOF in PLY header")
+            tokens = line.decode("ascii", "replace").strip().split()
+            if not tokens or tokens[0] == "comment":
+                continue
+            if tokens[0] == "format":
+                fmt = tokens[1]
+            elif tokens[0] == "element":
+                elements.append(PlyElement(tokens[1], int(tokens[2])))
+            elif tokens[0] == "property":
+                if tokens[1] == "list":
+                    elements[-1].properties.append(
+                        (tokens[4], f"LIST:{_PLY_TYPES[tokens[2]]}:{_PLY_TYPES[tokens[3]]}")
+                    )
+                else:
+                    elements[-1].properties.append((tokens[2], _PLY_TYPES[tokens[1]]))
+            elif tokens[0] == "end_header":
+                break
+
+        if fmt is None:
+            raise AttributeError("PLY header missing format line")
+
+        endian = "<" if fmt != "binary_big_endian" else ">"
+        for elem in elements:
+            has_list = any(t.startswith("LIST:") for _, t in elem.properties)
+            if fmt == "ascii":
+                _read_ascii_element(fh, elem)
+            elif has_list:
+                _read_binary_list_element(fh, elem, endian)
+            else:
+                dtype = np.dtype([(n, endian + t) for n, t in elem.properties])
+                buf = fh.read(dtype.itemsize * elem.count)
+                elem.data = np.frombuffer(buf, dtype=dtype, count=elem.count)
+    return {e.name: e for e in elements}
+
+
+def _read_ascii_element(fh, elem: PlyElement) -> None:
+    has_list = any(t.startswith("LIST:") for _, t in elem.properties)
+    if has_list:
+        # parse row by row, keeping only scalar leading properties
+        rows = []
+        for _ in range(elem.count):
+            rows.append(fh.readline().decode("ascii").split())
+        scalars = [(n, t) for n, t in elem.properties if not t.startswith("LIST:")]
+        data = np.zeros(elem.count, dtype=[(n, t) for n, t in scalars])
+        for i, row in enumerate(rows):
+            for j, (n, _) in enumerate(scalars):
+                data[n][i] = float(row[j])
+        elem.data = data
+        return
+    text = b"".join(fh.readline() for _ in range(elem.count))
+    flat = np.loadtxt(io.BytesIO(text), ndmin=2)
+    data = np.zeros(elem.count, dtype=[(n, t) for n, t in elem.properties])
+    for j, (n, _) in enumerate(elem.properties):
+        data[n] = flat[:, j]
+    elem.data = data
+
+
+def _read_binary_list_element(fh, elem: PlyElement, endian: str) -> None:
+    # Generic row-wise fallback (faces etc.); vertex clouds never hit this.
+    names, vals = [], []
+    for n, t in elem.properties:
+        if not t.startswith("LIST:"):
+            names.append((n, t))
+    rows = {n: [] for n, _ in names}
+    lists: dict[str, list] = {
+        n: [] for n, t in elem.properties if t.startswith("LIST:")
+    }
+    for _ in range(elem.count):
+        for n, t in elem.properties:
+            if t.startswith("LIST:"):
+                _, cnt_t, val_t = t.split(":")
+                cnt = int(np.frombuffer(fh.read(np.dtype(cnt_t).itemsize), endian + cnt_t)[0])
+                lists[n].append(
+                    np.frombuffer(fh.read(cnt * np.dtype(val_t).itemsize), endian + val_t)
+                )
+            else:
+                rows[n].append(np.frombuffer(fh.read(np.dtype(t).itemsize), endian + t)[0])
+    data = np.zeros(elem.count, dtype=[(n, t) for n, t in names])
+    for n, _ in names:
+        data[n] = rows[n]
+    elem.data = data
+    elem.lists = lists  # type: ignore[attr-defined]
+
+
+# --------------------------------------------------------------------- #
+# Gaussian scene loading
+# --------------------------------------------------------------------- #
+
+def load_ply_gaussians(path: str, max_sh_degree: int = 3):
+    """Load 3DGS Gaussians from .ply (parity: gauss_dataloader.py:16-82).
+
+    Returns numpy arrays (host; the pipeline moves them to device):
+        xyz (P,3) f32, log_scales (P,3) f32, rots (P,4) f32 normalised,
+        colours (P,3) f32 in [0,1], opacities (P,) f32 sigmoided,
+        shs (P,3,K) f32 or None.
+    """
+    elements = read_ply(path)
+    vertex = next(iter(elements.values()))
+    props = set(vertex.property_names)
+
+    xyz = np.stack(
+        [np.asarray(vertex["x"]), np.asarray(vertex["y"]), np.asarray(vertex["z"])],
+        axis=1,
+    ).astype(np.float32)
+    n = xyz.shape[0]
+
+    if "opacity" in props:
+        raw_op = np.asarray(vertex["opacity"], np.float32).reshape(-1)
+        opacities = 1.0 / (1.0 + np.exp(-raw_op))  # sigmoid (gauss_dataloader.py:76)
+    else:
+        opacities = np.ones(n, np.float32)
+
+    shs = None
+    if "f_dc_0" in props:
+        f_dc = np.stack(
+            [
+                np.asarray(vertex["f_dc_0"]),
+                np.asarray(vertex["f_dc_1"]),
+                np.asarray(vertex["f_dc_2"]),
+            ],
+            axis=1,
+        ).astype(np.float32)  # (P, 3)
+
+        rest_names = sorted(
+            (p for p in vertex.property_names if p.startswith("f_rest_")),
+            key=lambda x: int(x.split("_")[-1]),
+        )
+        expected = 3 * (max_sh_degree + 1) ** 2 - 3
+        if len(rest_names) != expected:
+            raise AssertionError(
+                f"Expected {expected} f_rest_* properties for sh degree "
+                f"{max_sh_degree}, found {len(rest_names)}"
+            )
+        if rest_names:
+            f_rest = np.stack(
+                [np.asarray(vertex[p]) for p in rest_names], axis=1
+            ).astype(np.float32)
+            f_rest = f_rest.reshape(n, 3, (max_sh_degree + 1) ** 2 - 1)
+            shs = np.concatenate([f_dc[:, :, None], f_rest], axis=2)
+        else:
+            shs = f_dc[:, :, None]
+        # Colour from degree-0 SH (gauss_dataloader.py:8-14, 46)
+        from gs2pc.ops.sh import SH_C0
+
+        colours = np.clip(SH_C0 * f_dc + 0.5, 0.0, 1.0).astype(np.float32)
+    elif "red" in props:
+        colours = np.stack(
+            [
+                np.asarray(vertex["red"]),
+                np.asarray(vertex["green"]),
+                np.asarray(vertex["blue"]),
+            ],
+            axis=1,
+        ).astype(np.float32)
+        if (colours > 1.0).any():  # /255 autodetect (gauss_dataloader.py:55-57)
+            colours = np.clip(colours / 255.0, 0.0, 1.0)
+    else:
+        raise AttributeError(
+            "Input ply file does not have valid colours (must have either "
+            "spherical harmonics or RGB colour fields)"
+        )
+
+    scale_names = sorted(
+        (p for p in vertex.property_names if p.startswith("scale_")),
+        key=lambda x: int(x.split("_")[-1]),
+    )
+    if scale_names:
+        log_scales = np.stack(
+            [np.asarray(vertex[p]) for p in scale_names], axis=1
+        ).astype(np.float32)
+    else:
+        log_scales = np.full((n, 3), -8.0, np.float32)
+
+    rot_names = sorted(
+        (p for p in vertex.property_names if p.startswith("rot")),
+        key=lambda x: int(x.split("_")[-1]),
+    )
+    if rot_names:
+        rots = np.stack([np.asarray(vertex[p]) for p in rot_names], axis=1).astype(
+            np.float32
+        )
+        rots = rots / np.maximum(np.linalg.norm(rots, axis=1, keepdims=True), 1e-12)
+    else:
+        rots = np.tile(np.array([[1, 0, 0, 0]], np.float32), (n, 1))
+
+    return xyz, log_scales, rots, colours, opacities, shs
+
+
+# --------------------------------------------------------------------- #
+# Point-cloud writing
+# --------------------------------------------------------------------- #
+
+def save_xyz_to_ply(
+    xyz_points,
+    filename: str,
+    rgb_colors=None,
+    normals_points=None,
+    chunk_size: int = 10**6,
+    quiet: bool = False,
+) -> None:
+    """Chunked binary-little-endian PLY writer.
+
+    Byte-for-byte identical layout with the reference writer
+    (gauss_dataloader.py:118-202): header with optional nx/ny/nz, float32
+    positions/normals, uint8 colours, chunked vertex writes.
+    """
+    xyz_points = np.asarray(xyz_points)
+    assert xyz_points.shape[1] == 3, "Input points should be in the format (N, 3)"
+    total = xyz_points.shape[0]
+
+    if rgb_colors is None:
+        rgb_colors = np.full((total, 3), 255, np.uint8)
+    rgb_colors = np.asarray(rgb_colors)
+    if normals_points is not None:
+        normals_points = np.asarray(normals_points)
+
+    if normals_points is not None:
+        header = (
+            "ply\nformat binary_little_endian 1.0\n"
+            f"element vertex {total}\n"
+            "property float x\nproperty float y\nproperty float z\n"
+            "property float nx\nproperty float ny\nproperty float nz\n"
+            "property uchar red\nproperty uchar green\nproperty uchar blue\n"
+            "end_header\n"
+        )
+        dtype = [
+            ("x", "<f4"), ("y", "<f4"), ("z", "<f4"),
+            ("nx", "<f4"), ("ny", "<f4"), ("nz", "<f4"),
+            ("red", "u1"), ("green", "u1"), ("blue", "u1"),
+        ]
+    else:
+        header = (
+            "ply\nformat binary_little_endian 1.0\n"
+            f"element vertex {total}\n"
+            "property float x\nproperty float y\nproperty float z\n"
+            "property uchar red\nproperty uchar green\nproperty uchar blue\n"
+            "end_header\n"
+        )
+        dtype = [
+            ("x", "<f4"), ("y", "<f4"), ("z", "<f4"),
+            ("red", "u1"), ("green", "u1"), ("blue", "u1"),
+        ]
+
+    num_chunks = (total + chunk_size - 1) // chunk_size
+    with open(filename, "wb") as fh:
+        fh.write(header.encode("utf-8"))
+        for i in range(num_chunks):
+            lo, hi = i * chunk_size, min((i + 1) * chunk_size, total)
+            vertex = np.zeros(hi - lo, dtype=dtype)
+            pts = xyz_points[lo:hi]
+            cols = np.clip(rgb_colors[lo:hi], 0, 255).astype(np.uint8)
+            vertex["x"], vertex["y"], vertex["z"] = pts[:, 0], pts[:, 1], pts[:, 2]
+            if normals_points is not None:
+                nrm = normals_points[lo:hi]
+                vertex["nx"], vertex["ny"], vertex["nz"] = (
+                    nrm[:, 0], nrm[:, 1], nrm[:, 2],
+                )
+            vertex["red"], vertex["green"], vertex["blue"] = (
+                cols[:, 0], cols[:, 1], cols[:, 2],
+            )
+            fh.write(vertex.tobytes())
+
+
+def read_xyz_ply(path: str):
+    """Read back a point cloud written by save_xyz_to_ply (for tests/tools)."""
+    elements = read_ply(path)
+    v = elements["vertex"]
+    pts = np.stack([v["x"], v["y"], v["z"]], axis=1).astype(np.float32)
+    cols = np.stack([v["red"], v["green"], v["blue"]], axis=1).astype(np.uint8)
+    normals = None
+    if "nx" in v.property_names:
+        normals = np.stack([v["nx"], v["ny"], v["nz"]], axis=1).astype(np.float32)
+    return pts, cols, normals

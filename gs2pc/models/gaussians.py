@@ -1,0 +1,278 @@
+"""Gaussian scene container — an immutable pytree of factor-form Gaussians.
+
+Reference parity: gauss_handler.py (``Gaussians`` class).  Key design change
+for TPU: we never materialise per-Gaussian 3x3 covariance matrices in the hot
+path.  The scene keeps the *factors* — log-scales ``s`` and unit quaternions
+``q`` — from which
+
+    M      = R(q) @ diag(exp(s))          (covariance factor)
+    Sigma  = M @ M.T                      (covariance, PSD by construction)
+    eig(Sigma) = exp(2 s)                 (eigenvalues, no eigh needed)
+
+This collapses the reference's PSD-validation pipeline
+(gauss_handler.py:108-166: eps-regularise -> eigh clamp x3 -> cull) into a
+single clamp on ``s`` in log-space, removes ``torch.linalg.eigvals`` from the
+importance metric (gauss_handler.py:252-279), and lets the sampler draw
+``x = mean + M z`` with Mahalanobis distance ``|z|`` (no matrix inverse).
+
+Culling keeps the reference's lazily-ANDed boolean mask semantics
+(gauss_handler.py:86-87, :168-169): predicates AND into ``keep_mask`` and the
+single dynamic-shape gather (``filter``) happens at a host boundary.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gs2pc.ops.quaternion import quat_to_rotmat
+
+# Knud Thomsen's ellipsoid surface-area exponent (gauss_handler.py:262).
+_KT_P = 1.6075
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class Gaussians:
+    """Immutable 3DGS scene.
+
+    Attributes:
+        xyz:        (P, 3) float32 centres.
+        log_scales: (P, 3) float32 log semi-axis lengths.
+        rots:       (P, 4) float32 unit quaternions (wxyz).
+        opacities:  (P,)   float32 in [0, 1] (sigmoid already applied).
+        colours:    (P, 3) float32; [0, 1] until the pipeline scales to 0-255
+                    (mirrors reference flow, gauss_to_pc.py:481/:519).
+        shs:        optional (P, 3, K) float32 full SH coefficients.
+        normals:    optional (P, 3) float32 unit normals.
+        keep_mask:  (P,) bool lazily-ANDed cull filter.
+    """
+
+    xyz: jnp.ndarray
+    log_scales: jnp.ndarray
+    rots: jnp.ndarray
+    opacities: jnp.ndarray
+    colours: jnp.ndarray
+    shs: Optional[jnp.ndarray] = None
+    normals: Optional[jnp.ndarray] = None
+    keep_mask: Optional[jnp.ndarray] = None
+
+    # ------------------------------------------------------------------ #
+    # Construction
+    # ------------------------------------------------------------------ #
+    @staticmethod
+    def create(xyz, log_scales, rots, colours, opacities, shs=None) -> "Gaussians":
+        xyz = jnp.asarray(xyz, jnp.float32)
+        return Gaussians(
+            xyz=xyz,
+            log_scales=jnp.asarray(log_scales, jnp.float32),
+            rots=jnp.asarray(rots, jnp.float32),
+            opacities=jnp.asarray(opacities, jnp.float32).reshape(-1),
+            colours=jnp.asarray(colours, jnp.float32),
+            shs=None if shs is None else jnp.asarray(shs, jnp.float32),
+            normals=None,
+            keep_mask=jnp.ones(xyz.shape[0], dtype=bool),
+        )
+
+    @property
+    def num_gaussians(self) -> int:
+        return self.xyz.shape[0]
+
+    # ------------------------------------------------------------------ #
+    # Derived geometry (pure, jit-friendly)
+    # ------------------------------------------------------------------ #
+    def scales(self) -> jnp.ndarray:
+        """(P, 3) linear semi-axis lengths exp(s)."""
+        return jnp.exp(self.log_scales)
+
+    def rotation_matrices(self) -> jnp.ndarray:
+        return quat_to_rotmat(self.rots)
+
+    def covariance_factors(self, scaling_modifier: float = 1.0) -> jnp.ndarray:
+        """(P, 3, 3) factor M = R diag(exp(modifier * s)); Sigma = M M^T.
+
+        Matches build_covariance_from_scaling_rotation
+        (gauss_handler.py:60-63): L = R @ diag(exp(mod*s)), Sigma = L L^T.
+        """
+        R = self.rotation_matrices()
+        s = jnp.exp(scaling_modifier * self.log_scales)
+        return R * s[:, None, :]
+
+    def covariances(self, scaling_modifier: float = 1.0) -> jnp.ndarray:
+        """(P, 3, 3) dense covariance matrices (host-boundary use only)."""
+        M = self.covariance_factors(scaling_modifier)
+        return M @ jnp.swapaxes(M, -1, -2)
+
+    def covariances_packed(self) -> jnp.ndarray:
+        """(P, 6) upper-triangular packing [xx, xy, xz, yy, yz, zz].
+
+        Matches strip_symmetric (gauss_render.py:195-208).
+        """
+        C = self.covariances()
+        return jnp.stack(
+            [
+                C[:, 0, 0],
+                C[:, 0, 1],
+                C[:, 0, 2],
+                C[:, 1, 1],
+                C[:, 1, 2],
+                C[:, 2, 2],
+            ],
+            axis=-1,
+        )
+
+    def calculate_normals(self) -> "Gaussians":
+        """Normal = rotation of the one-hot axis of the smallest scale.
+
+        Matches gauss_handler.py:89-106 (argmin over scales, rotate by R);
+        R @ e_k is simply the k-th column of R, so this is a single gather.
+        """
+        k = jnp.argmin(self.log_scales, axis=1)
+        R = self.rotation_matrices()
+        normals = jnp.take_along_axis(R, k[:, None, None], axis=2)[..., 0]
+        return dataclasses.replace(self, normals=normals)
+
+    # ------------------------------------------------------------------ #
+    # PSD validation (factor space)
+    # ------------------------------------------------------------------ #
+    def validate_covariances(self, epsilon: float = 1e-7) -> "Gaussians":
+        """Clamp degenerate scales so every Sigma is positive-definite.
+
+        Replaces the reference's 3-stage regularise/eigh-clamp/cull flow
+        (gauss_handler.py:142-166).  In factor form eig(Sigma) = exp(2 s),
+        so clamping ``s >= 0.5 log(eps)`` is exactly the eigenvalue clamp,
+        and no Gaussian ever needs culling — the keep-all mask the reference
+        would return corresponds to our unchanged ``keep_mask``.
+        """
+        floor = 0.5 * float(np.log(epsilon))
+        return dataclasses.replace(
+            self, log_scales=jnp.maximum(self.log_scales, floor)
+        )
+
+    # ------------------------------------------------------------------ #
+    # Importance metric
+    # ------------------------------------------------------------------ #
+    def magnitudes(self, contributions: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        """sqrt(Knud-Thomsen ellipsoid area) * contribution (or opacity).
+
+        Matches get_gaussian_magnitudes (gauss_handler.py:252-279) but uses
+        semi-axes a,b,c = exp(s) directly instead of sqrt(eigvals(Sigma)).
+        """
+        a = jnp.exp(self.log_scales[:, 0])
+        b = jnp.exp(self.log_scales[:, 1])
+        c = jnp.exp(self.log_scales[:, 2])
+        p = _KT_P
+        radicand = ((a * b) ** p + (a * c) ** p + (b * c) ** p) / 3.0
+        surface_area = 4.0 * jnp.pi * radicand ** (1.0 / p)
+        size = jnp.sqrt(surface_area)
+        if contributions is None:
+            contributions = self.opacities
+        return size * contributions
+
+    # ------------------------------------------------------------------ #
+    # Cull predicates (lazily ANDed into keep_mask)
+    # ------------------------------------------------------------------ #
+    def add_to_cull(self, keep: jnp.ndarray) -> "Gaussians":
+        """AND a boolean keep-mask into the pending filter
+        (gauss_handler.py:168-169)."""
+        return dataclasses.replace(self, keep_mask=self.keep_mask & keep)
+
+    def apply_min_opacity(self, min_opacity: float) -> "Gaussians":
+        """gauss_handler.py:195-203 — keep opacity > min_opacity."""
+        if min_opacity > 0.0:
+            return self.add_to_cull(self.opacities > min_opacity)
+        return self
+
+    def apply_bounding_box(self, bb_min, bb_max) -> "Gaussians":
+        """gauss_handler.py:205-224 — strict axis-aligned bounds."""
+        g = self
+        if bb_min is not None:
+            bb_min = jnp.asarray(bb_min, jnp.float32)
+            g = g.add_to_cull(jnp.all(g.xyz > bb_min, axis=1))
+        if bb_max is not None:
+            bb_max = jnp.asarray(bb_max, jnp.float32)
+            g = g.add_to_cull(jnp.all(g.xyz < bb_max, axis=1))
+        return g
+
+    def cull_large_gaussians(self, cull_percent: float) -> "Gaussians":
+        """Remove the largest ``cull_percent`` fraction by magnitude.
+
+        Reference (gauss_handler.py:235-250) ANDs *indices* into the bool
+        mask — a latent bug; the intended semantics (keep the smallest
+        floor(P*(1-pct)) Gaussians) is implemented here via a rank mask.
+        """
+        if cull_percent <= 0.0:
+            return self
+        sizes = self.magnitudes()
+        cull_index = int(np.floor(self.num_gaussians * (1.0 - cull_percent)))
+        order = jnp.argsort(sizes)
+        ranks = jnp.zeros_like(order).at[order].set(
+            jnp.arange(order.shape[0], dtype=order.dtype)
+        )
+        return self.add_to_cull(ranks < cull_index)
+
+    # ------------------------------------------------------------------ #
+    # Filtering (host boundary — dynamic output shape)
+    # ------------------------------------------------------------------ #
+    def filter(self) -> tuple["Gaussians", np.ndarray]:
+        """Gather kept Gaussians; returns (filtered scene, kept bool mask).
+
+        Dynamic-shape: call outside jit (mirrors filter_gaussians,
+        gauss_handler.py:171-193, which is likewise a host-sync gather).
+        """
+        mask = np.asarray(self.keep_mask)
+        idx = np.nonzero(mask)[0]
+
+        def take(x):
+            return None if x is None else jnp.asarray(np.asarray(x)[idx])
+
+        out = Gaussians(
+            xyz=take(self.xyz),
+            log_scales=take(self.log_scales),
+            rots=take(self.rots),
+            opacities=take(self.opacities),
+            colours=take(self.colours),
+            shs=take(self.shs),
+            normals=take(self.normals),
+            keep_mask=jnp.ones(len(idx), dtype=bool),
+        )
+        return out, mask
+
+    def pad_to(self, p_pad: int) -> "Gaussians":
+        """Pad to a static row count with inert Gaussians (opacity 0,
+        keep_mask False) so downstream kernels see lane-aligned shapes."""
+        p = self.num_gaussians
+        if p_pad < p:
+            raise ValueError(f"pad_to({p_pad}) smaller than {p}")
+        extra = p_pad - p
+        if extra == 0:
+            return self
+
+        def pad(x, fill=0.0):
+            if x is None:
+                return None
+            widths = [(0, extra)] + [(0, 0)] * (x.ndim - 1)
+            return jnp.pad(x, widths, constant_values=fill)
+
+        rots = jnp.concatenate(
+            [
+                self.rots,
+                jnp.tile(
+                    jnp.array([[1.0, 0.0, 0.0, 0.0]], jnp.float32), (extra, 1)
+                ),
+            ]
+        )
+        return Gaussians(
+            xyz=pad(self.xyz),
+            log_scales=pad(self.log_scales),
+            rots=rots,
+            opacities=pad(self.opacities),
+            colours=pad(self.colours),
+            shs=pad(self.shs),
+            normals=pad(self.normals),
+            keep_mask=pad(self.keep_mask, fill=False),
+        )

@@ -1,0 +1,181 @@
+"""Point-budget distribution + flat MVN sampling with Mahalanobis rejection.
+
+Reference parity: gauss_to_pc.py:73-371 (distribute_points,
+create_new_gaussian_points, generate_pointcloud).  TPU-first redesign:
+
+* The reference bins Gaussians by similar point counts and loops bins x
+  attempts on the host, sampling ``MultivariateNormal(mean, Sigma)`` and
+  rejecting points with Mahalanobis distance > std (computed via
+  ``torch.inverse`` + bmm, gauss_to_pc.py:92-103).
+
+* Here every output point is generated in ONE fixed-shape program:
+  a cumsum/searchsorted map assigns each output slot to its Gaussian, and
+  each point draws ``x = mean_g + R_g (exp(s_g) * z)`` with ``z ~ N(0, I)``.
+  Because ``x - mean = M z`` with ``Sigma = M M^T``, the Mahalanobis
+  distance is exactly ``|z|`` — rejection becomes truncated-normal
+  resampling with a static attempt count (lax.fori_loop), no matrix
+  inverse, no PSD failure path, and exact per-Gaussian quotas.
+
+* Binning (gauss_to_pc.py:105-138) existed only to batch torch's MVN;
+  it is kept in gs2pc.ops.binning purely for capability parity.
+
+The reference emits each Gaussian's centre as its first point
+(gauss_to_pc.py:352-355); here rank-0 of each Gaussian's quota is the exact
+centre.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from gs2pc.models.gaussians import Gaussians
+from gs2pc.ops.quaternion import quat_to_rotmat
+
+
+def distribute_points(gaussian_sizes: jnp.ndarray, num_points: int) -> jnp.ndarray:
+    """Assign an integer point quota per Gaussian, proportional to size.
+
+    Matches gauss_to_pc.py:73-90: round(sizes * N / sum(sizes)), then
+    promote zero-quota Gaussians to 1 while budget remains.  (The reference
+    slices with a possibly-negative length when rounding overshoots —
+    a latent bug; we clamp the promotion count at zero.)
+    """
+    gaussian_sizes = jnp.asarray(gaussian_sizes, jnp.float32)
+    total = jnp.sum(gaussian_sizes)
+    ratio = num_points / jnp.maximum(total, 1e-20)
+    ppg = jnp.round(gaussian_sizes * ratio).astype(jnp.int32)
+
+    deficit = num_points - jnp.sum(ppg)
+    zeros = ppg == 0
+    zero_rank = jnp.cumsum(zeros.astype(jnp.int32)) - 1
+    promote = jnp.clip(deficit, 0, jnp.sum(zeros.astype(jnp.int32)))
+    return jnp.where(zeros & (zero_rank < promote), 1, ppg)
+
+
+class SampledPoints(NamedTuple):
+    """Fixed-capacity sampled point cloud (compact with ``valid``)."""
+
+    points: jnp.ndarray  # (N_cap, 3) float32
+    colours: jnp.ndarray  # (N_cap, 3) float32
+    normals: Optional[jnp.ndarray]  # (N_cap, 3) float32 or None
+    gaussian_idx: jnp.ndarray  # (N_cap,) int32 source Gaussian
+    valid: jnp.ndarray  # (N_cap,) bool — in budget AND accepted
+    total: jnp.ndarray  # () int32 — sum of quotas (may exceed N_cap)
+
+
+def sample_points(
+    key: jax.Array,
+    gaussians: Gaussians,
+    points_per_gaussian: jnp.ndarray,
+    n_cap: int,
+    mahalanobis_std: float = 2.0,
+    num_attempts: int = 5,
+) -> SampledPoints:
+    """Draw every point of the cloud in one fixed-shape pass.
+
+    Args:
+        key: PRNG key.
+        gaussians: scene (already filtered/validated).
+        points_per_gaussian: (P,) int32 quotas (centre included in quota).
+        n_cap: static output capacity; quota tails beyond it are dropped.
+        mahalanobis_std: rejection radius in standard deviations
+            (reference default 2.0, gauss_to_pc.py:636).
+        num_attempts: resample attempts per point (5 normal / 100 exact,
+            gauss_to_pc.py:535).
+
+    Returns:
+        SampledPoints with ``valid`` marking accepted, in-budget points.
+    """
+    ppg = jnp.asarray(points_per_gaussian, jnp.int32)
+    offsets = jnp.cumsum(ppg)
+    total = offsets[-1] if ppg.shape[0] > 0 else jnp.int32(0)
+
+    pid = jnp.arange(n_cap, dtype=jnp.int32)
+    g = jnp.searchsorted(offsets, pid, side="right").astype(jnp.int32)
+    in_budget = pid < total
+    g = jnp.clip(g, 0, gaussians.num_gaussians - 1)
+    start = offsets[g] - ppg[g]
+    is_centre = pid == start
+
+    # Truncated-normal z via fixed-attempt resampling.  chi(3) tail beyond
+    # 2 std is ~26%, so 5 attempts leave ~0.1% of points unaccepted — the
+    # same drop the reference accepts after its 5 rounds.
+    std = jnp.float32(mahalanobis_std)
+
+    def draw(k):
+        return jax.random.normal(k, (n_cap, 3), dtype=jnp.float32)
+
+    keys = jax.random.split(key, num_attempts)
+    z = draw(keys[0])
+    ok = jnp.sum(z * z, axis=-1) <= std * std
+
+    def body(i, carry):
+        z, ok = carry
+        z_new = draw(jax.random.fold_in(key, 1000 + i))
+        ok_new = jnp.sum(z_new * z_new, axis=-1) <= std * std
+        z = jnp.where(ok[:, None], z, z_new)
+        return z, ok | ok_new
+
+    z, ok = jax.lax.fori_loop(1, num_attempts, body, (z, ok))
+
+    # x = mean + R (exp(s) * z); centres use z = 0 exactly.
+    z = jnp.where(is_centre[:, None], 0.0, z)
+    R = quat_to_rotmat(gaussians.rots[g])
+    scaled = jnp.exp(gaussians.log_scales[g]) * z
+    pts = gaussians.xyz[g] + jnp.einsum("nij,nj->ni", R, scaled)
+
+    valid = in_budget & (ok | is_centre)
+    normals = None if gaussians.normals is None else gaussians.normals[g]
+    return SampledPoints(
+        points=pts,
+        colours=gaussians.colours[g],
+        normals=normals,
+        gaussian_idx=g,
+        valid=valid,
+        total=total,
+    )
+
+
+def generate_pointcloud(
+    key: jax.Array,
+    gaussians: Gaussians,
+    num_points: int,
+    contributions: Optional[jnp.ndarray] = None,
+    mahalanobis_std: float = 2.0,
+    exact_num_points: bool = False,
+    n_cap: Optional[int] = None,
+) -> SampledPoints:
+    """Full point-generation driver (gauss_to_pc.py:277-371 equivalent).
+
+    size -> distribute -> flat sample.  No binning: quotas are exact per
+    Gaussian rather than bin midpoints, which strictly improves fidelity.
+    """
+    sizes = gaussians.magnitudes(contributions=contributions)
+    ppg = distribute_points(sizes, num_points)
+    if n_cap is None:
+        # Rounding can overshoot the budget by at most ~P/2 in adversarial
+        # cases; a 5% + 4096 margin makes truncation practically impossible.
+        n_cap = int(num_points + max(4096, num_points // 20))
+    attempts = 100 if exact_num_points else 5
+    return sample_points(
+        key,
+        gaussians,
+        ppg,
+        n_cap=n_cap,
+        mahalanobis_std=mahalanobis_std,
+        num_attempts=attempts,
+    )
+
+
+def mahalanobis(means: jnp.ndarray, samples: jnp.ndarray, covs: jnp.ndarray) -> jnp.ndarray:
+    """Explicit Mahalanobis distance (parity with gauss_to_pc.py:92-103).
+
+    Not used by the sampler (which gets the distance for free as |z|);
+    provided for API completeness and testing.
+    """
+    delta = means - samples
+    sol = jnp.linalg.solve(covs, delta[..., None])[..., 0]
+    return jnp.sqrt(jnp.maximum(jnp.sum(delta * sol, axis=-1), 0.0))

@@ -1,0 +1,40 @@
+"""Structured, quiet-gated logging + phase timing.
+
+The reference logs via bare prints gated by --quiet (gauss_to_pc.py:646) and
+has no profiling beyond tqdm bars (SURVEY §5).  gs2pc adds named phase
+timers (render sweep / sampling / I/O) and optional jax.profiler traces.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from typing import Iterator
+
+import jax
+
+_QUIET = False
+
+
+def set_quiet(quiet: bool) -> None:
+    global _QUIET
+    _QUIET = quiet
+
+
+def info(msg: str = "") -> None:
+    if not _QUIET:
+        print(msg, flush=True)
+
+
+def warn(msg: str) -> None:
+    print(f"WARNING: {msg}", flush=True)
+
+
+@contextlib.contextmanager
+def phase(name: str) -> Iterator[None]:
+    """Wall-clock a pipeline phase with a jax.profiler annotation."""
+    start = time.perf_counter()
+    with jax.profiler.TraceAnnotation(name):
+        yield
+    if not _QUIET:
+        print(f"[gs2pc] {name}: {time.perf_counter() - start:.2f}s", flush=True)
