@@ -1,0 +1,286 @@
+"""End-to-end orchestrator: load -> render sweep -> cull -> sample -> save.
+
+Reference parity: convert_3dgs_to_pc (gauss_to_pc.py:373-601) and main()
+(gauss_to_pc.py:712-786).  Host boundaries are identical to the reference
+(file I/O, dynamic-shape filtering); everything between them is jitted.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gs2pc.camera import build_camera_batch
+from gs2pc.io.colmap import load_transform_data
+from gs2pc.io.gaussians_io import load_gaussians
+from gs2pc.io.masks import load_image_masks
+from gs2pc.models.gaussians import Gaussians
+from gs2pc.ops.blend import FLOAT_MAX
+from gs2pc.ops.rasterize import TileConfig
+from gs2pc.ops.sampler import distribute_points, sample_points
+from gs2pc.parallel.mesh import make_mesh
+from gs2pc.parallel.sweep import (
+    SweepAccumulators,
+    render_sweep,
+    render_sweep_sharded,
+)
+from gs2pc.utils import log
+from gs2pc.utils.config import GaussPointCloudSettings
+
+AVG_POINTS_PER_GAUSS_FOR_MESH = 25  # gauss_to_pc.py:575
+PAD_GAUSS = 256  # pad Gaussian axis to a lane-friendly multiple
+
+
+class PointCloudData(NamedTuple):
+    """Host-side point cloud (parity: gauss_to_pc.py:62-65)."""
+
+    points: np.ndarray  # (N, 3) float32
+    colours: np.ndarray  # (N, 3) float32 in [0, 255]
+    normals: Optional[np.ndarray]  # (N, 3) float32 or None
+
+
+def _scene_render_arrays(gaussians: Gaussians):
+    """Padded flat arrays for the renderer (colours stay [0, 1])."""
+    p_pad = -(-gaussians.num_gaussians // PAD_GAUSS) * PAD_GAUSS
+    g = gaussians.pad_to(p_pad)
+    return (
+        g.xyz,
+        g.covariance_factors(),
+        g.opacities,
+        g.colours,
+        g.keep_mask,  # padded rows are dead
+    )
+
+
+def run_render_sweep(
+    gaussians: Gaussians,
+    cameras,
+    cfg: TileConfig,
+    settings: GaussPointCloudSettings,
+    num_devices: int = 1,
+) -> SweepAccumulators:
+    """Jitted (optionally sharded) camera sweep; slices accumulators to P."""
+    arrays = _scene_render_arrays(gaussians)
+    calc_surface = (
+        settings.surface_distance_std is not None or settings.generate_mesh
+    )
+
+    if num_devices > 1:
+        mesh = make_mesh(num_devices)
+        acc = render_sweep_sharded(
+            arrays, cameras, cfg, mesh,
+            renderer=settings.renderer_type,
+            calc_surface_distance=calc_surface,
+        )
+    else:
+        sweep = jax.jit(
+            lambda a, c: render_sweep(
+                a, c, cfg,
+                renderer=settings.renderer_type,
+                calc_surface_distance=calc_surface,
+            )
+        )
+        acc = sweep(arrays, cameras)
+
+    p = gaussians.num_gaussians
+    return SweepAccumulators(
+        max_contribution=acc.max_contribution[:p],
+        colours=acc.colours[:p],
+        total_contribution=acc.total_contribution[:p],
+        min_surface_distance=acc.min_surface_distance[:p],
+    )
+
+
+def surface_keep_mask(
+    min_surface_distance: jnp.ndarray, surface_std: float
+) -> jnp.ndarray:
+    """get_surface_gaussians_below_distance_threshold semantics
+    (__init__.py:190-201): keep dist < mean(finite dists) * std."""
+    finite = min_surface_distance < FLOAT_MAX
+    mean = jnp.sum(jnp.where(finite, min_surface_distance, 0.0)) / jnp.maximum(
+        jnp.sum(finite), 1
+    )
+    return min_surface_distance < mean * surface_std
+
+
+def generate_point_cloud_data(
+    gaussians: Gaussians,
+    num_points: int,
+    settings: GaussPointCloudSettings,
+    contributions: Optional[jnp.ndarray] = None,
+    seed_offset: int = 0,
+) -> PointCloudData:
+    """distribute -> sample -> host-compact (gauss_to_pc.py:277-371 role)."""
+    sizes = gaussians.magnitudes(contributions=contributions)
+    ppg = distribute_points(sizes, num_points)
+    n_cap = int(num_points + max(4096, num_points // 20))
+    attempts = 100 if settings.exact_num_points else 5
+
+    key = jax.random.PRNGKey(settings.seed + seed_offset)
+    sampled = jax.jit(
+        lambda k, g, q: sample_points(
+            k, g, q,
+            n_cap=n_cap,
+            mahalanobis_std=settings.mahalanobis_distance_std,
+            num_attempts=attempts,
+        )
+    )(key, gaussians, ppg)
+
+    valid = np.asarray(sampled.valid)
+    points = np.asarray(sampled.points)[valid]
+    colours = np.asarray(sampled.colours)[valid]
+    normals = (
+        np.asarray(sampled.normals)[valid] if sampled.normals is not None else None
+    )
+    return PointCloudData(points=points, colours=colours, normals=normals)
+
+
+def convert_3dgs_to_pc(
+    input_path: str,
+    transform_path: Optional[str],
+    mask_path: Optional[str],
+    settings: GaussPointCloudSettings,
+    num_devices: int = 1,
+):
+    """Full conversion (parity: convert_3dgs_to_pc, gauss_to_pc.py:373-601).
+
+    Returns (total_point_cloud, surface_point_cloud | None).
+    """
+    log.set_quiet(settings.quiet)
+
+    transforms = intrinsics = None
+    if transform_path is not None:
+        log.info("Loading Camera Poses\n")
+        transforms, intrinsics = load_transform_data(
+            transform_path, skip_rate=settings.camera_skip_rate
+        )
+
+    mask_images = None
+    if mask_path is not None:
+        log.info("Loading Masks\n")
+        mask_images = load_image_masks(mask_path)
+        for mask_name in mask_images:
+            if mask_name not in transforms:
+                log.warn(
+                    f"Mask with name {mask_name} not found in provided transforms"
+                )
+
+    log.info("Loading Gaussians from File\n")
+    gaussians = load_gaussians(input_path, max_sh_degree=settings.max_sh_degree)
+
+    if settings.calculate_normals:
+        gaussians = gaussians.calculate_normals()
+
+    total_gaussian_contributions = None
+    surface_keep_global = None
+
+    if settings.render_colours:
+        if transform_path is None:
+            raise Exception("Transforms are required to render colours")
+
+        log.info("Rendering Gaussian Colours")
+        with log.phase("render_sweep"):
+            cameras, w_pad, h_pad = build_camera_batch(
+                transforms,
+                intrinsics,
+                colour_resolution=settings.colour_resolution,
+                masks=mask_images,
+            )
+            cfg = TileConfig(
+                width_pad=w_pad,
+                height_pad=h_pad,
+                slots=settings.render.slots_per_gaussian,
+                run_cap=settings.render.max_pairs_per_tile,
+                run_chunk=settings.render.run_chunk,
+                tile_batch=settings.render.tile_batch,
+            )
+            acc = run_render_sweep(
+                gaussians, cameras, cfg, settings, num_devices=num_devices
+            )
+
+        log.info(f"\nNumber Initial Gaussians: {gaussians.num_gaussians}")
+
+        # Rendered colours (0-255 from here on, gauss_to_pc.py:481).
+        gaussians = dataclasses.replace(gaussians, colours=acc.colours * 255.0)
+
+        if settings.surface_distance_std is not None:
+            gaussians = gaussians.add_to_cull(
+                surface_keep_mask(
+                    acc.min_surface_distance, settings.surface_distance_std
+                )
+            )
+        if settings.remove_unrendered_gaussians:
+            gaussians = gaussians.add_to_cull(
+                acc.max_contribution > settings.visibility_threshold
+            )
+        gaussians = gaussians.apply_min_opacity(settings.min_opacity)
+        gaussians = gaussians.apply_bounding_box(
+            settings.bounding_box_min, settings.bounding_box_max
+        )
+        gaussians = gaussians.cull_large_gaussians(settings.cull_large_percentage)
+
+        gaussians, culled_mask = gaussians.filter()
+
+        log.info(f"\nNumber Gaussians after Culling: {gaussians.num_gaussians}")
+        if gaussians.num_gaussians < 1:
+            raise Exception(
+                "Number of Gaussians after culling is 0, meaning a point "
+                "cloud cannot be generated"
+            )
+
+        if settings.generate_mesh:
+            surface_keep_global = np.asarray(
+                surface_keep_mask(acc.min_surface_distance, 1.0)
+            )[culled_mask]
+
+        if settings.prioritise_visible_gaussians:
+            total_gaussian_contributions = jnp.asarray(
+                np.asarray(acc.total_contribution)[culled_mask]
+            )
+    else:
+        gaussians = dataclasses.replace(
+            gaussians, colours=gaussians.colours * 255.0
+        )
+        log.info("Skipping Rendering Gaussian Colours")
+
+    log.info("\nEnsuring Gaussians are Positive Semidefinite")
+    gaussians = gaussians.validate_covariances()
+
+    log.info("\nStarting Point Cloud Generation for All Gaussians\n")
+    with log.phase("point_sampling"):
+        total_point_cloud = generate_point_cloud_data(
+            gaussians,
+            settings.num_points,
+            settings,
+            contributions=total_gaussian_contributions,
+        )
+
+    surface_point_cloud = None
+    if settings.generate_mesh and settings.render_colours:
+        log.info("Starting Point Cloud Generation for Surface Gaussians\n")
+        surf_gaussians = gaussians.add_to_cull(jnp.asarray(surface_keep_global))
+        surf_gaussians, surf_mask = surf_gaussians.filter()
+
+        total_mesh_points = min(
+            settings.num_points // 2,
+            surf_gaussians.num_gaussians * AVG_POINTS_PER_GAUSS_FOR_MESH,
+        )
+        surf_contrib = None
+        if total_gaussian_contributions is not None:
+            surf_contrib = jnp.asarray(
+                np.asarray(total_gaussian_contributions)[surf_mask]
+            )
+        with log.phase("surface_sampling"):
+            surface_point_cloud = generate_point_cloud_data(
+                surf_gaussians,
+                total_mesh_points,
+                settings,
+                contributions=surf_contrib,
+                seed_offset=1,
+            )
+
+    return total_point_cloud, surface_point_cloud

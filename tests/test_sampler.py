@@ -23,11 +23,18 @@ class TestDistributePoints:
         assert int(ppg.min()) >= 0
 
     def test_zero_promotion(self):
-        # One dominant Gaussian; tiny ones round to 0 then get promoted to 1.
-        sizes = jnp.asarray([1000.0] + [1e-4] * 10, jnp.float32)
-        ppg = np.asarray(distribute_points(sizes, 100))
-        assert ppg[0] >= 90
-        assert (ppg[1:] == 1).all()
+        # Three equal Gaussians round 3.33->3 leaving deficit 1; exactly one
+        # zero-quota Gaussian (the first, in index order) gets promoted.
+        sizes = jnp.asarray([3.0, 3.0, 3.0] + [1e-5] * 5, jnp.float32)
+        ppg = np.asarray(distribute_points(sizes, 10))
+        assert list(ppg[:3]) == [3, 3, 3]
+        assert ppg[3] == 1 and (ppg[4:] == 0).all()
+
+    def test_zero_promotion_clamped_on_overshoot(self):
+        # Rounding overshoot (negative deficit) must not promote anything.
+        sizes = jnp.asarray([1.6, 1.6, 1.6] + [1e-5] * 4, jnp.float32)
+        ppg = np.asarray(distribute_points(sizes, 5))
+        assert (ppg[3:] == 0).all()
 
     def test_proportionality(self):
         sizes = jnp.asarray([1.0, 2.0, 4.0], jnp.float32)

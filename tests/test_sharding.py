@@ -1,0 +1,101 @@
+"""Multi-device tests on the virtual 8-CPU mesh: sweep and sampler sharding."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from gs2pc.camera import build_camera_batch
+from gs2pc.ops.rasterize import TileConfig
+from gs2pc.parallel.mesh import CAM_AXIS, make_mesh, points_sharding
+from gs2pc.parallel.sweep import (
+    pad_cameras,
+    render_sweep,
+    render_sweep_sharded,
+)
+from tests.conftest import make_synthetic_scene
+from tests.test_render import look_at_camera
+
+
+def _setup(n_cams=5, n_gauss=96):
+    scene = make_synthetic_scene(n_gauss, seed=21, spread=1.0,
+                                 scale_lo=-3.5, scale_hi=-1.5)
+    transforms, intr = {}, {}
+    for i in range(n_cams):
+        c2w, intrinsic = look_at_camera(angle=i * 1.1, width=48, height=48, focal=60.0)
+        transforms[f"c{i}"] = c2w.tolist()
+        intr[f"c{i}"] = intrinsic
+    cams, wp, hp = build_camera_batch(transforms, intr)
+    arrays = (
+        scene.xyz,
+        scene.covariance_factors(),
+        scene.opacities * 0.9,
+        scene.colours,
+        jnp.ones(n_gauss, bool),
+    )
+    cfg = TileConfig(width_pad=wp, height_pad=hp, slots=16,
+                     run_cap=128, run_chunk=64, tile_batch=9)
+    return arrays, cams, cfg
+
+
+class TestShardedSweep:
+    def test_matches_single_device(self):
+        assert len(jax.devices()) == 8
+        arrays, cams, cfg = _setup()
+        acc_seq = jax.jit(
+            lambda a, c: render_sweep(a, c, cfg)
+        )(arrays, cams)
+        mesh = make_mesh(4)
+        acc_sh = render_sweep_sharded(arrays, cams, cfg, mesh)
+
+        np.testing.assert_allclose(
+            np.asarray(acc_sh.max_contribution),
+            np.asarray(acc_seq.max_contribution),
+            atol=1e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(acc_sh.total_contribution),
+            np.asarray(acc_seq.total_contribution),
+            atol=1e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(acc_sh.min_surface_distance),
+            np.asarray(acc_seq.min_surface_distance),
+            atol=1e-4,
+        )
+        # colours: winner may differ only on exact contribution ties
+        gm = np.asarray(acc_seq.max_contribution)
+        np.testing.assert_allclose(
+            np.asarray(acc_sh.colours)[gm > 1e-4],
+            np.asarray(acc_seq.colours)[gm > 1e-4],
+            atol=1e-4,
+        )
+
+    def test_pad_cameras_inert(self):
+        arrays, cams, cfg = _setup(n_cams=3)
+        padded = pad_cameras(cams, 8)
+        assert padded.num_cameras == 8
+        acc_pad = jax.jit(lambda a, c: render_sweep(a, c, cfg))(arrays, padded)
+        acc_orig = jax.jit(lambda a, c: render_sweep(a, c, cfg))(arrays, cams)
+        np.testing.assert_allclose(
+            np.asarray(acc_pad.total_contribution),
+            np.asarray(acc_orig.total_contribution),
+            atol=1e-6,
+        )
+
+
+class TestSamplerSharding:
+    def test_points_sharded(self):
+        from gs2pc.ops.sampler import sample_points
+
+        scene = make_synthetic_scene(64, seed=2)
+        ppg = jnp.full(64, 128, jnp.int32)
+        mesh = make_mesh(8)
+        shard = points_sharding(mesh)
+
+        def f(key):
+            out = sample_points(key, scene, ppg, n_cap=8192)
+            return jax.lax.with_sharding_constraint(out.points, shard), out.valid
+
+        pts, valid = jax.jit(f)(jax.random.PRNGKey(0))
+        assert pts.sharding.is_equivalent_to(shard, pts.ndim)
+        assert int(np.asarray(valid).sum()) > 7000
