@@ -1,0 +1,136 @@
+"""End-to-end benchmark: synthetic 3DGS scene -> coloured point cloud.
+
+Measures the full device pipeline (render sweep over cameras for colours/
+contributions + culling + point sampling) on whatever backend is default
+(real TPU under the driver).  Prints ONE JSON line:
+
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+The reference repo publishes no quantitative numbers (BASELINE.md), so
+``vs_baseline`` is measured against the north-star target rate derived
+from BASELINE.json: 10M points in 30 s  =>  333,333 points/s.
+
+Env knobs: GS2PC_BENCH_GAUSSIANS, GS2PC_BENCH_POINTS, GS2PC_BENCH_CAMERAS,
+GS2PC_BENCH_WIDTH, GS2PC_BENCH_HEIGHT.
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+NORTH_STAR_POINTS_PER_S = 10_000_000 / 30.0
+
+
+def make_scene(n, seed=0):
+    from gs2pc.models.gaussians import Gaussians
+
+    r = np.random.default_rng(seed)
+    quats = r.normal(size=(n, 4)).astype(np.float32)
+    quats /= np.linalg.norm(quats, axis=1, keepdims=True)
+    # Mix of a dense core and a sparse shell, roughly MipNeRF360-like
+    # scale statistics (log-scales ~ U[-5.5, -2.5] at scene scale ~2).
+    xyz = r.normal(size=(n, 3)).astype(np.float32)
+    xyz *= (1.0 + 2.0 * r.uniform(size=(n, 1)).astype(np.float32) ** 4)
+    return Gaussians.create(
+        xyz,
+        r.uniform(-5.5, -2.5, (n, 3)).astype(np.float32),
+        quats,
+        r.uniform(0, 1, (n, 3)).astype(np.float32),
+        r.uniform(0.2, 1.0, n).astype(np.float32),
+    )
+
+
+def make_cameras(n_cams, width, height, focal_scale=0.9):
+    from gs2pc.camera import build_camera_batch
+
+    transforms, intr = {}, {}
+    focal = focal_scale * width
+    for i in range(n_cams):
+        angle = i * (2 * np.pi / n_cams)
+        c = np.array([5.0 * np.sin(angle), 1.5, -5.0 * np.cos(angle)])
+        z = -c / np.linalg.norm(c)
+        up = np.array([0.0, 1.0, 0.0])
+        x = np.cross(up, z)
+        x /= np.linalg.norm(x)
+        y = np.cross(z, x)
+        c2w = np.eye(4)
+        c2w[:3, 0], c2w[:3, 1], c2w[:3, 2], c2w[:3, 3] = x, y, z, c
+        c2w[:, 1:3] = -c2w[:, 1:3]
+        transforms[f"c{i:02d}"] = c2w.tolist()
+        intr[f"c{i:02d}"] = (width, height, focal, focal)
+    return build_camera_batch(transforms, intr)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from gs2pc.ops.rasterize import TileConfig
+    from gs2pc.ops.sampler import distribute_points, sample_points
+    from gs2pc.parallel.sweep import render_sweep
+
+    n_gauss = int(os.environ.get("GS2PC_BENCH_GAUSSIANS", 1_000_000))
+    n_points = int(os.environ.get("GS2PC_BENCH_POINTS", 5_000_000))
+    n_cams = int(os.environ.get("GS2PC_BENCH_CAMERAS", 6))
+    width = int(os.environ.get("GS2PC_BENCH_WIDTH", 1280))
+    height = int(os.environ.get("GS2PC_BENCH_HEIGHT", 720))
+
+    scene = make_scene(n_gauss).calculate_normals()
+    cameras, wp, hp = make_cameras(n_cams, width, height)
+    cfg = TileConfig(
+        width_pad=wp, height_pad=hp,
+        slots=16, run_cap=4096, run_chunk=256, tile_batch=128,
+    )
+    arrays = (
+        scene.xyz,
+        scene.covariance_factors(),
+        scene.opacities,
+        scene.colours,
+        jnp.ones(scene.num_gaussians, bool),
+    )
+
+    sweep = jax.jit(
+        lambda a, c: render_sweep(a, c, cfg, calc_surface_distance=False)
+    )
+
+    n_cap = n_points + max(4096, n_points // 20)
+
+    @jax.jit
+    def sample_stage(key, acc_total):
+        sizes = scene.magnitudes(contributions=acc_total)
+        ppg = distribute_points(sizes, n_points)
+        out = sample_points(key, scene, ppg, n_cap=n_cap, num_attempts=5)
+        return out.points, out.colours, out.valid
+
+    # Warmup / compile.
+    acc = sweep(arrays, cameras)
+    jax.tree.map(lambda x: x.block_until_ready(), acc)
+    pts, cols, valid = sample_stage(jax.random.PRNGKey(0), acc.total_contribution)
+    pts.block_until_ready()
+
+    # Timed end-to-end device pipeline.
+    t0 = time.perf_counter()
+    acc = sweep(arrays, cameras)
+    pts, cols, valid = sample_stage(jax.random.PRNGKey(1), acc.total_contribution)
+    pts.block_until_ready()
+    cols.block_until_ready()
+    elapsed = time.perf_counter() - t0
+
+    n_emitted = int(jnp.sum(valid))
+    pps = n_emitted / elapsed
+    print(
+        json.dumps(
+            {
+                "metric": f"e2e_points_per_second[{n_gauss}g,{n_cams}cam@{width}x{height},{n_points}pts]",
+                "value": round(pps, 1),
+                "unit": "points/s",
+                "vs_baseline": round(pps / NORTH_STAR_POINTS_PER_S, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -193,6 +193,9 @@ def render_sweep_sharded(
         mesh=mesh,
         in_specs=(scene_spec, cam_spec),
         out_specs=jax.tree.map(lambda _: P(), init_accumulators(1)),
+        # blend-scan carries start as replicated constants and become
+        # device-varying after the first camera; skip the vma check.
+        check_vma=False,
     )
     def sharded(scene_local, cams_local):
         acc = render_sweep(

@@ -15,6 +15,9 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402  (import after env setup)
 
+# The image's sitecustomize pre-registers a TPU plugin and pins
+# jax_platforms; the config update (not just the env var) wins.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
 
 import numpy as np
