@@ -29,13 +29,16 @@ def make_scene(n, seed=0):
     r = np.random.default_rng(seed)
     quats = r.normal(size=(n, 4)).astype(np.float32)
     quats /= np.linalg.norm(quats, axis=1, keepdims=True)
-    # Mix of a dense core and a sparse shell, roughly MipNeRF360-like
-    # scale statistics (log-scales ~ U[-5.5, -2.5] at scene scale ~2).
+    # Mix of a dense core and a sparse shell; scale statistics shaped like
+    # real 3DGS exports: ~90% small detail splats, ~10% larger fillers.
     xyz = r.normal(size=(n, 3)).astype(np.float32)
     xyz *= (1.0 + 2.0 * r.uniform(size=(n, 1)).astype(np.float32) ** 4)
+    log_scales = r.uniform(-6.5, -4.0, (n, 3)).astype(np.float32)
+    big = r.uniform(size=n) < 0.1
+    log_scales[big] = r.uniform(-4.0, -2.5, (big.sum(), 3)).astype(np.float32)
     return Gaussians.create(
         xyz,
-        r.uniform(-5.5, -2.5, (n, 3)).astype(np.float32),
+        log_scales,
         quats,
         r.uniform(0, 1, (n, 3)).astype(np.float32),
         r.uniform(0.2, 1.0, n).astype(np.float32),

@@ -158,12 +158,19 @@ def render_tile_camera(
     sort_key = jnp.where(prep.valid, prep.depth, FLOAT_MAX)
     order = jnp.argsort(sort_key)
 
-    # Depth-ordered per-Gaussian tables.
-    t_xy = prep.xy[order]
-    t_conic = prep.conic[order]
-    t_op = prep.opacity[order]
-    t_col = colours[order]
-    t_depth = prep.depth[order]
+    # Depth-ordered per-Gaussian table, PACKED into one row per Gaussian so
+    # each run chunk costs a single row gather instead of five:
+    # lanes [xy0, xy1, conic0, conic1, conic2, opacity, r, g, b, depth].
+    table = jnp.concatenate(
+        [
+            prep.xy[order],
+            prep.conic[order],
+            prep.opacity[order][:, None],
+            colours[order],
+            prep.depth[order][:, None],
+        ],
+        axis=1,
+    )
 
     keys, pair_g = _build_pairs(prep, order, cfg)
     L = keys.shape[0]
@@ -171,14 +178,19 @@ def render_tile_camera(
     TB = cfg.tile_batch_eff
     NTP = cfg.num_tiles_pad
     NB = NTP // TB
-    steps = max(cfg.run_cap // cfg.run_chunk, 1)
     Rs = cfg.run_chunk
+    max_steps = max(-(-cfg.run_cap // Rs), 1)
     tpx = cfg.tile * cfg.tile  # pixels per tile
 
     all_tids = jnp.arange(NTP, dtype=jnp.int32)
     starts_all = jnp.searchsorted(keys, all_tids, side="left").astype(jnp.int32)
     ends_all = jnp.searchsorted(keys, all_tids, side="right").astype(jnp.int32)
     counts_all = jnp.minimum(ends_all - starts_all, cfg.run_cap)
+
+    # Process tiles in descending-run-length order: each batch's inner loop
+    # runs only ceil(batch_max/Rs) dynamic steps, so sparse tiles don't pay
+    # for dense ones (the CUDA analogue is per-block early exit).
+    tid_by_load = all_tids[jnp.argsort(-counts_all)]
 
     ly, lx = jnp.divmod(jnp.arange(tpx, dtype=jnp.int32), cfg.tile)
 
@@ -203,35 +215,52 @@ def render_tile_camera(
         in_run = offs[None, :] < count[:, None]
         safe = jnp.clip(idx, 0, L - 1)
         pg = pair_g[safe]
-        return pg, in_run
+        return pg, idx, in_run
 
-    def batch_step(_, b):
-        tids = b * TB + jnp.arange(TB, dtype=jnp.int32)
+    def chunk_tables(pg):
+        t = table[pg]  # (TB, Rs, 10) — one packed gather
+        return (
+            t[..., 0:2],  # xy
+            t[..., 2:5],  # conic
+            t[..., 5],  # opacity
+            t[..., 6:9],  # colour
+            t[..., 9],  # depth
+        )
+
+    # Pair-aligned output buffers (slot L is the dump slot for masked lanes).
+    m_buf0 = jnp.zeros(L + 1, jnp.float32)
+    apix_buf0 = jnp.zeros(L + 1, jnp.int32)
+
+    def batch_step(bufs, b):
+        m_buf, apix_buf = bufs
+        tids = jax.lax.dynamic_slice_in_dim(tid_by_load, b * TB, TB)
         start = starts_all[tids]
         count = counts_all[tids]
+        n_steps = jnp.minimum(
+            -(-jnp.max(count) // Rs), max_steps
+        ).astype(jnp.int32)
         px, pixid, valid_px = tile_geometry(tids)
         carry0 = init_carry((TB, tpx), done0=~valid_px)
 
-        def run_step(carry, r):
-            pg, in_run = gather_run(start, count, r)
-            new_carry, w = blend_chunk(
-                carry,
-                px,
-                t_xy[pg],
-                t_conic[pg],
-                t_op[pg],
-                t_col[pg],
-                t_depth[pg],
-                in_run,
-            )
+        def cond(state):
+            r, carry, _, _ = state
+            return (r < n_steps) & jnp.logical_not(jnp.all(carry.done))
+
+        def body(state):
+            r, carry, m_buf, apix_buf = state
+            pg, idx, in_run = gather_run(start, count, r)
+            xy, conic, op, col, dep = chunk_tables(pg)
+            new_carry, w = blend_chunk(carry, px, xy, conic, op, col, dep, in_run)
             m = jnp.max(w, axis=1)  # (TB, Rs)
             arg = jnp.argmax(w, axis=1).astype(jnp.int32)
             apix = jnp.take_along_axis(pixid, arg, axis=1)
-            gid = order[pg]  # original Gaussian index
-            return new_carry, (m, apix, gid)
+            slot = jnp.where(in_run, idx, L).reshape(-1)
+            m_buf = m_buf.at[slot].set(m.reshape(-1), unique_indices=False)
+            apix_buf = apix_buf.at[slot].set(apix.reshape(-1))
+            return r + 1, new_carry, m_buf, apix_buf
 
-        carry, (m, apix, gid) = jax.lax.scan(
-            run_step, carry0, jnp.arange(steps, dtype=jnp.int32)
+        _, carry, m_buf, apix_buf = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), carry0, m_buf, apix_buf)
         )
 
         bg = jnp.float32(1.0 if white_bkgd else 0.0)
@@ -242,16 +271,26 @@ def render_tile_camera(
         )
         tile_ed = jnp.where(valid_px, carry.exp_depth, 0.0)
         tile_einv = jnp.where(valid_px, carry.exp_invdepth, 0.0)
-        return None, (tile_col, tile_ed, tile_einv, m, apix, gid)
+        return (m_buf, apix_buf), (tile_col, tile_ed, tile_einv)
 
-    _, (tiles_col, tiles_ed, tiles_einv, m_all, apix_all, gid_all) = jax.lax.scan(
-        batch_step, None, jnp.arange(NB, dtype=jnp.int32)
+    (m_buf, apix_buf), (tiles_col, tiles_ed, tiles_einv) = jax.lax.scan(
+        batch_step, (m_buf0, apix_buf0), jnp.arange(NB, dtype=jnp.int32)
     )
 
+    # Tiles were visited in load order; scatter back to tile-id order.
+    def unshuffle(t):  # (NB, TB, ...) -> (NTP, ...) in tile-id order
+        flat = t.reshape((NTP,) + t.shape[2:])
+        out = jnp.zeros_like(flat)
+        return out.at[tid_by_load].set(flat)
+
+    tiles_col = unshuffle(tiles_col)
+    tiles_ed = unshuffle(tiles_ed)
+    tiles_einv = unshuffle(tiles_einv)
+
     # Tile-major -> row-major image assembly.
-    def untile(t):  # t: (NB, TB, tpx[, 3])
-        extra = t.shape[3:]
-        t = t.reshape((NTP, tpx) + extra)[: cfg.num_tiles]
+    def untile(t):  # t: (NTP, tpx[, 3])
+        extra = t.shape[2:]
+        t = t[: cfg.num_tiles]
         t = t.reshape((cfg.grid_h, cfg.grid_w, cfg.tile, cfg.tile) + extra)
         t = jnp.swapaxes(t, 1, 2)
         return t.reshape((cfg.height_pad, cfg.width_pad) + extra)
@@ -261,9 +300,9 @@ def render_tile_camera(
     einv = untile(tiles_einv)
 
     # Per-Gaussian reductions (deterministic replacements for CUDA atomics).
-    m_flat = m_all.reshape(-1)
-    gid_flat = gid_all.reshape(-1)
-    apix_flat = apix_all.reshape(-1)
+    m_flat = m_buf[:L]
+    apix_flat = apix_buf[:L]
+    gid_flat = order[pair_g]  # original Gaussian index per pair
     contrib = jax.ops.segment_max(
         m_flat, gid_flat, num_segments=P, indices_are_sorted=False
     )
@@ -280,35 +319,41 @@ def render_tile_camera(
 
     if calc_surface_distance:
         ed_tiles = tiles_ed.reshape(NTP, tpx)
+        sd_buf0 = jnp.full(L + 1, FLOAT_MAX, jnp.float32)
 
-        def surf_batch(_, b):
-            tids = b * TB + jnp.arange(TB, dtype=jnp.int32)
+        def surf_batch(sd_buf, b):
+            tids = jax.lax.dynamic_slice_in_dim(tid_by_load, b * TB, TB)
             start = starts_all[tids]
             count = counts_all[tids]
+            n_steps = jnp.minimum(
+                -(-jnp.max(count) // Rs), max_steps
+            ).astype(jnp.int32)
             _, pixid, valid_px = tile_geometry(tids)
             ed_b = ed_tiles[tids]  # (TB, tpx)
 
-            def surf_run(_, r):
-                pg, in_run = gather_run(start, count, r)
-                dist = jnp.abs(
-                    t_depth[pg][:, None, :] - ed_b[:, :, None]
-                )  # (TB, tpx, Rs)
+            def cond(state):
+                r, _ = state
+                return r < n_steps
+
+            def body(state):
+                r, sd_buf = state
+                pg, idx, in_run = gather_run(start, count, r)
+                dep = table[pg][..., 9]
+                dist = jnp.abs(dep[:, None, :] - ed_b[:, :, None])
                 ok = valid_px[:, :, None] & in_run[:, None, :]
                 dist = jnp.where(ok, dist, FLOAT_MAX)
                 sd = jnp.min(dist, axis=1)  # (TB, Rs)
-                return None, (sd, order[pg])
+                slot = jnp.where(in_run, idx, L).reshape(-1)
+                sd_buf = sd_buf.at[slot].set(sd.reshape(-1))
+                return r + 1, sd_buf
 
-            _, (sd, gid) = jax.lax.scan(
-                surf_run, None, jnp.arange(steps, dtype=jnp.int32)
-            )
-            return None, (sd, gid)
+            _, sd_buf = jax.lax.while_loop(cond, body, (jnp.int32(0), sd_buf))
+            return sd_buf, None
 
-        _, (sd_all, sgid_all) = jax.lax.scan(
-            surf_batch, None, jnp.arange(NB, dtype=jnp.int32)
+        sd_buf, _ = jax.lax.scan(
+            surf_batch, sd_buf0, jnp.arange(NB, dtype=jnp.int32)
         )
-        surf = jax.ops.segment_min(
-            sd_all.reshape(-1), sgid_all.reshape(-1), num_segments=P
-        )
+        surf = jax.ops.segment_min(sd_buf[:L], gid_flat, num_segments=P)
         surf = jnp.where(jnp.isinf(surf), FLOAT_MAX, surf)
     else:
         surf = jnp.full(P, FLOAT_MAX, jnp.float32)
