@@ -135,6 +135,8 @@ def render_tile_camera(
     white_bkgd: bool = True,
     antialiasing: bool = False,
     calc_surface_distance: bool = True,
+    use_pallas: bool = False,
+    pallas_interpret: bool = False,
 ) -> RenderOutput:
     """Render one camera; returns image + per-Gaussian accumulator inputs."""
     P = means.shape[0]
@@ -160,7 +162,7 @@ def render_tile_camera(
 
     # Depth-ordered per-Gaussian table, PACKED into one row per Gaussian so
     # each run chunk costs a single row gather instead of five:
-    # lanes [xy0, xy1, conic0, conic1, conic2, opacity, r, g, b, depth].
+    # lanes [xy0, xy1, conic0, conic1, conic2, opacity, r, g, b, depth] + pad.
     table = jnp.concatenate(
         [
             prep.xy[order],
@@ -168,12 +170,19 @@ def render_tile_camera(
             prep.opacity[order][:, None],
             colours[order],
             prep.depth[order][:, None],
+            jnp.zeros((P, 6), jnp.float32),
         ],
         axis=1,
     )
 
     keys, pair_g = _build_pairs(prep, order, cfg)
     L = keys.shape[0]
+
+    if use_pallas:
+        return _finish_pallas(
+            prep, order, table, keys, pair_g, camera, cfg, mask,
+            white_bkgd, calc_surface_distance, pallas_interpret, P,
+        )
 
     TB = cfg.tile_batch_eff
     NTP = cfg.num_tiles_pad
@@ -367,3 +376,135 @@ def render_tile_camera(
         best_colour=best_colour,
         surf_dist=surf,
     )
+
+
+def _untile(t, cfg: TileConfig):  # (NTP, tpx[, k]) -> (Hp, Wp[, k])
+    extra = t.shape[2:]
+    t = t[: cfg.num_tiles]
+    t = t.reshape((cfg.grid_h, cfg.grid_w, cfg.tile, cfg.tile) + extra)
+    t = jnp.swapaxes(t, 1, 2)
+    return t.reshape((cfg.height_pad, cfg.width_pad) + extra)
+
+
+def _finish_pallas(
+    prep, order, table, keys, pair_g, camera, cfg: TileConfig, mask,
+    white_bkgd, calc_surface_distance, interpret, P,
+):
+    """Pallas-kernel blend path (see gs2pc.ops.pallas_blend)."""
+    from gs2pc.ops.pallas_blend import build_aligned_pairs, pallas_blend
+
+    NTP = cfg.num_tiles_pad
+    Rs = cfg.run_chunk
+    tpx = cfg.tile * cfg.tile
+
+    pairs = build_aligned_pairs(
+        table, order, keys, pair_g,
+        num_tiles_pad=NTP, run_cap=cfg.run_cap, run_chunk=Rs,
+    )
+
+    if mask is not None:
+        mt = mask.reshape(cfg.height_pad, cfg.width_pad)
+        mt = mt.reshape(cfg.grid_h, cfg.tile, cfg.grid_w, cfg.tile)
+        mt = jnp.swapaxes(mt, 1, 2).reshape(cfg.num_tiles, tpx)
+        mask_tiles = jnp.zeros((NTP, tpx), mt.dtype).at[: cfg.num_tiles].set(mt)
+        mask_tiles = mask_tiles.astype(jnp.uint8)
+    else:
+        mask_tiles = jnp.ones((NTP, tpx), jnp.uint8)
+
+    tiles_rgb, tiles_ed, tiles_einv, m_al, apix_al = pallas_blend(
+        pairs, mask_tiles, camera.width, camera.height,
+        num_tiles=cfg.num_tiles, num_tiles_pad=NTP,
+        grid_w=cfg.grid_w, width_pad=cfg.width_pad,
+        run_chunk=Rs, white_bkgd=white_bkgd,
+        run_cap_hint=cfg.run_cap, interpret=interpret,
+    )
+
+    image = _untile(tiles_rgb, cfg)  # (Hp, Wp, 3)
+    ed = _untile(tiles_ed, cfg)
+    einv = _untile(tiles_einv, cfg)
+
+    # Per-Gaussian reductions; sentinel gid == P collects alignment padding.
+    contrib_ext = jax.ops.segment_max(m_al, pairs.gid, num_segments=P + 1)
+    contrib = jnp.maximum(contrib_ext[:P], 0.0)
+
+    hit = (m_al > 0.0) & (m_al == contrib_ext[pairs.gid])
+    pix_cand = jnp.where(hit, apix_al, -1)
+    best_pix = jax.ops.segment_max(pix_cand, pairs.gid, num_segments=P + 1)[:P]
+    best_pix = jnp.maximum(best_pix, -1)
+    img_flat = image.reshape(-1, 3)
+    best_colour = jnp.where(
+        (best_pix >= 0)[:, None], img_flat[jnp.maximum(best_pix, 0)], 0.0
+    )
+
+    if calc_surface_distance:
+        surf = _surface_pass_aligned(
+            pairs, tiles_ed, camera, cfg, mask_tiles, P
+        )
+    else:
+        surf = jnp.full(P, FLOAT_MAX, jnp.float32)
+
+    return RenderOutput(
+        image=image,
+        depth=ed,
+        invdepth=einv,
+        radii=prep.radius,
+        contrib=contrib,
+        best_colour=best_colour,
+        surf_dist=surf,
+    )
+
+
+def _surface_pass_aligned(pairs, tiles_ed, camera, cfg: TileConfig, mask_tiles, P):
+    """Min |gauss depth - expected depth| over tile pixels, aligned layout."""
+    NTP = cfg.num_tiles_pad
+    Rs = cfg.run_chunk
+    TB = cfg.tile_batch_eff
+    NB = NTP // TB
+    tpx = cfg.tile * cfg.tile
+    L_al = pairs.pair_tab.shape[1]
+    max_steps = max(-(-cfg.run_cap // Rs), 1)
+
+    depth_col = pairs.pair_tab[9, :]
+    ly, lx = jnp.divmod(jnp.arange(tpx, dtype=jnp.int32), cfg.tile)
+    sd_buf0 = jnp.full(L_al + 1, FLOAT_MAX, jnp.float32)
+
+    def batch(sd_buf, b):
+        tids = b * TB + jnp.arange(TB, dtype=jnp.int32)
+        start = pairs.starts[tids]
+        count = pairs.counts[tids]
+        n_steps = jnp.minimum(-(-jnp.max(count) // Rs), max_steps).astype(jnp.int32)
+        ty, tx = jnp.divmod(tids, cfg.grid_w)
+        gx = tx[:, None] * cfg.tile + lx[None, :]
+        gy = ty[:, None] * cfg.tile + ly[None, :]
+        valid_px = (
+            (gx < camera.width)
+            & (gy < camera.height)
+            & (tids[:, None] < cfg.num_tiles)
+            & (mask_tiles[tids] != 0)
+        )
+        ed_b = tiles_ed[tids]
+
+        def cond(state):
+            r, _ = state
+            return r < n_steps
+
+        def body(state):
+            r, sd_buf = state
+            offs = r * Rs + jnp.arange(Rs, dtype=jnp.int32)
+            idx = start[:, None] + offs[None, :]
+            in_run = offs[None, :] < count[:, None]
+            safe = jnp.clip(idx, 0, L_al - 1)
+            dep = depth_col[safe]
+            dist = jnp.abs(dep[:, None, :] - ed_b[:, :, None])
+            ok = valid_px[:, :, None] & in_run[:, None, :]
+            dist = jnp.where(ok, dist, FLOAT_MAX)
+            sd = jnp.min(dist, axis=1)
+            slot = jnp.where(in_run, idx, L_al).reshape(-1)
+            return r + 1, sd_buf.at[slot].set(sd.reshape(-1))
+
+        _, sd_buf = jax.lax.while_loop(cond, body, (jnp.int32(0), sd_buf))
+        return sd_buf, None
+
+    sd_buf, _ = jax.lax.scan(batch, sd_buf0, jnp.arange(NB, dtype=jnp.int32))
+    surf = jax.ops.segment_min(sd_buf[:L_al], pairs.gid, num_segments=P + 1)[:P]
+    return jnp.where(jnp.isinf(surf), FLOAT_MAX, surf)
