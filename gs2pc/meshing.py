@@ -40,20 +40,14 @@ def _morton_codes(pts: jnp.ndarray, bits: int = 10) -> jnp.ndarray:
     )
 
 
-def statistical_outlier_mask(
-    points: jnp.ndarray,
-    nb_neighbors: int = 20,
-    std_ratio: float = 10.0,
-    window: int = 32,
+def knn_mean_distance(
+    points: jnp.ndarray, k: int = 20, window: int = 32
 ) -> jnp.ndarray:
-    """Approximate Open3D remove_statistical_outlier as a fixed-shape program.
+    """Mean distance to ~k nearest neighbours, Morton-window approximation.
 
-    Each point's k nearest neighbours are approximated by the k closest of
-    its 2*window neighbours in Morton order (a standard locality-preserving
-    approximation; outliers — the thing being detected — are far from
-    *everything*, so the approximation errs on the safe side).  A point is
-    kept when its mean kNN distance <= global_mean + std_ratio * global_std,
-    matching Open3D's criterion.
+    Fixed-shape: each point considers its 2*window neighbours in Morton
+    order (a locality-preserving approximation) and averages the k
+    smallest distances.
     """
     n = points.shape[0]
     order = jnp.argsort(_morton_codes(points))
@@ -69,15 +63,29 @@ def statistical_outlier_mask(
     # Exclude degenerate self-matches from clipping at the array ends.
     d = jnp.where(idx == jnp.arange(n)[:, None], jnp.inf, d)
 
-    k = min(nb_neighbors, d.shape[1])
+    k = min(k, d.shape[1])
     knn, _ = jax.lax.top_k(-d, k)
     mean_knn = jnp.mean(-knn, axis=1)
+    return jnp.zeros(n, mean_knn.dtype).at[order].set(mean_knn)
 
+
+def statistical_outlier_mask(
+    points: jnp.ndarray,
+    nb_neighbors: int = 20,
+    std_ratio: float = 10.0,
+    window: int = 32,
+) -> jnp.ndarray:
+    """Approximate Open3D remove_statistical_outlier as a fixed-shape program.
+
+    Outliers — the thing being detected — are far from *everything*, so the
+    Morton-window kNN approximation errs on the safe side.  A point is kept
+    when its mean kNN distance <= global_mean + std_ratio * global_std,
+    matching Open3D's criterion.
+    """
+    mean_knn = knn_mean_distance(points, k=nb_neighbors, window=window)
     mu = jnp.mean(mean_knn)
     sigma = jnp.std(mean_knn)
-    keep_sorted = mean_knn <= mu + std_ratio * sigma
-    keep = jnp.zeros(n, bool).at[order].set(keep_sorted)
-    return keep
+    return mean_knn <= mu + std_ratio * sigma
 
 
 def clean_point_cloud(

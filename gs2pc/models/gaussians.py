@@ -215,6 +215,21 @@ class Gaussians:
         )
         return self.add_to_cull(ranks < cull_index)
 
+    def apply_knn_filter(
+        self, k: int = 10, max_dist: float = 1.0, window: int = 32
+    ) -> "Gaussians":
+        """Cull Gaussians whose mean k-NN distance exceeds ``max_dist``.
+
+        The reference sketches (but comments out) a KDTree-based variant
+        (gauss_handler.py:226-233).  Here the k nearest neighbours are
+        approximated on-device via Morton-order windows — the same
+        fixed-shape scheme as gs2pc.meshing.statistical_outlier_mask.
+        """
+        from gs2pc.meshing import knn_mean_distance
+
+        mean_d = knn_mean_distance(self.xyz, k=k, window=window)
+        return self.add_to_cull(mean_d <= max_dist)
+
     # ------------------------------------------------------------------ #
     # Filtering (host boundary — dynamic output shape)
     # ------------------------------------------------------------------ #

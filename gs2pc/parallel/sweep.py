@@ -71,8 +71,22 @@ def _render_one(
     white_bkgd: bool,
     antialiasing: bool,
     calc_surface_distance: bool,
+    shs=None,
+    sh_degree: int = 3,
+    use_pallas: bool = False,
 ) -> RenderOutput:
     means, covf, opac, cols, alive = scene_arrays
+    if shs is not None:
+        # Full view-dependent SH colour per camera (the capability of the
+        # reference CUDA kernel's computeColorFromSH path, forward.cu:24-73;
+        # the reference pipeline itself always precomputes deg-0 colours).
+        from gs2pc.ops.sh import eval_sh_rgb
+
+        dirs = means - camera.campos
+        dirs = dirs / jnp.maximum(
+            jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-12
+        )
+        cols = eval_sh_rgb(sh_degree, shs, dirs)
     if renderer == "dense":
         return render_dense(
             means, covf, opac, cols, alive, camera,
@@ -89,6 +103,7 @@ def _render_one(
         white_bkgd=white_bkgd,
         antialiasing=antialiasing,
         calc_surface_distance=calc_surface_distance,
+        use_pallas=use_pallas,
     )
 
 
@@ -100,6 +115,9 @@ def render_sweep(
     white_bkgd: bool = True,
     antialiasing: bool = False,
     calc_surface_distance: bool = True,
+    shs=None,
+    sh_degree: int = 3,
+    use_pallas: bool = False,
 ) -> SweepAccumulators:
     """Sequential (single-device) sweep: lax.scan over stacked cameras."""
     P_num = scene_arrays[0].shape[0]
@@ -112,6 +130,7 @@ def render_sweep(
         out = _render_one(
             scene_arrays, cam, mask if has_mask else None,
             renderer, cfg, white_bkgd, antialiasing, calc_surface_distance,
+            shs=shs, sh_degree=sh_degree, use_pallas=use_pallas,
         )
         return update_accumulators(acc, out), None
 
@@ -174,6 +193,9 @@ def render_sweep_sharded(
     white_bkgd: bool = True,
     antialiasing: bool = False,
     calc_surface_distance: bool = True,
+    shs=None,
+    sh_degree: int = 3,
+    use_pallas: bool = False,
 ) -> SweepAccumulators:
     """Camera-data-parallel sweep over the "cams" mesh axis.
 
@@ -187,20 +209,25 @@ def render_sweep_sharded(
 
     cam_spec = jax.tree.map(lambda _: P(CAM_AXIS), cameras)
     scene_spec = jax.tree.map(lambda _: P(), scene_arrays)
+    # shs threaded explicitly (replicated) — shard_map must see it as an arg.
+    shs_arg = shs if shs is not None else jnp.zeros((1,), jnp.float32)
+    has_shs = shs is not None
 
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(scene_spec, cam_spec),
+        in_specs=(scene_spec, cam_spec, P()),
         out_specs=jax.tree.map(lambda _: P(), init_accumulators(1)),
         # blend-scan carries start as replicated constants and become
         # device-varying after the first camera; skip the vma check.
         check_vma=False,
     )
-    def sharded(scene_local, cams_local):
+    def sharded(scene_local, cams_local, shs_local):
         acc = render_sweep(
             scene_local, cams_local, cfg, renderer,
             white_bkgd, antialiasing, calc_surface_distance,
+            shs=shs_local if has_shs else None,
+            sh_degree=sh_degree, use_pallas=use_pallas,
         )
         total = jax.lax.psum(acc.total_contribution, CAM_AXIS)
         sd = jax.lax.pmin(acc.min_surface_distance, CAM_AXIS)
@@ -211,4 +238,4 @@ def render_sweep_sharded(
         gcol = jnp.take_along_axis(gcol_all, winner[None, :, None], axis=0)[0]
         return SweepAccumulators(gmax, gcol, total, sd)
 
-    return sharded(scene_arrays, cameras)
+    return sharded(scene_arrays, cameras, shs_arg)

@@ -56,6 +56,14 @@ def _scene_render_arrays(gaussians: Gaussians):
     )
 
 
+def _resolve_pallas(mode: str) -> bool:
+    if mode == "on":
+        return True
+    if mode == "off":
+        return False
+    return jax.default_backend() not in ("cpu",)
+
+
 def run_render_sweep(
     gaussians: Gaussians,
     cameras,
@@ -68,6 +76,15 @@ def run_render_sweep(
     calc_surface = (
         settings.surface_distance_std is not None or settings.generate_mesh
     )
+    use_pallas = (
+        _resolve_pallas(settings.render.use_pallas)
+        and settings.renderer_type == "tile"
+        and settings.render.run_chunk % 128 == 0
+    )
+    shs = None
+    if settings.sh_colour_eval and gaussians.shs is not None:
+        p_pad = arrays[0].shape[0]
+        shs = gaussians.pad_to(p_pad).shs
 
     if num_devices > 1:
         mesh = make_mesh(num_devices)
@@ -75,16 +92,20 @@ def run_render_sweep(
             arrays, cameras, cfg, mesh,
             renderer=settings.renderer_type,
             calc_surface_distance=calc_surface,
+            shs=shs, sh_degree=settings.max_sh_degree,
+            use_pallas=use_pallas,
         )
     else:
         sweep = jax.jit(
-            lambda a, c: render_sweep(
+            lambda a, c, s: render_sweep(
                 a, c, cfg,
                 renderer=settings.renderer_type,
                 calc_surface_distance=calc_surface,
+                shs=s, sh_degree=settings.max_sh_degree,
+                use_pallas=use_pallas,
             )
         )
-        acc = sweep(arrays, cameras)
+        acc = sweep(arrays, cameras, shs)
 
     p = gaussians.num_gaussians
     return SweepAccumulators(
@@ -179,28 +200,41 @@ def convert_3dgs_to_pc(
     surface_keep_global = None
 
     if settings.render_colours:
-        if transform_path is None:
+        if transform_path is None and settings.load_sweep is None:
             raise Exception("Transforms are required to render colours")
 
         log.info("Rendering Gaussian Colours")
         with log.phase("render_sweep"):
-            cameras, w_pad, h_pad = build_camera_batch(
-                transforms,
-                intrinsics,
-                colour_resolution=settings.colour_resolution,
-                masks=mask_images,
-            )
-            cfg = TileConfig(
-                width_pad=w_pad,
-                height_pad=h_pad,
-                slots=settings.render.slots_per_gaussian,
-                run_cap=settings.render.max_pairs_per_tile,
-                run_chunk=settings.render.run_chunk,
-                tile_batch=settings.render.tile_batch,
-            )
-            acc = run_render_sweep(
-                gaussians, cameras, cfg, settings, num_devices=num_devices
-            )
+            if settings.load_sweep is not None:
+                from gs2pc.utils.checkpoint import load_accumulators
+
+                acc = load_accumulators(
+                    settings.load_sweep, gaussians.num_gaussians
+                )
+            else:
+                cameras, w_pad, h_pad = build_camera_batch(
+                    transforms,
+                    intrinsics,
+                    colour_resolution=settings.colour_resolution,
+                    masks=mask_images,
+                )
+                cfg = TileConfig(
+                    width_pad=w_pad,
+                    height_pad=h_pad,
+                    slots=settings.render.slots_per_gaussian,
+                    run_cap=settings.render.max_pairs_per_tile,
+                    run_chunk=settings.render.run_chunk,
+                    tile_batch=settings.render.tile_batch,
+                )
+                acc = run_render_sweep(
+                    gaussians, cameras, cfg, settings, num_devices=num_devices
+                )
+                if settings.save_sweep is not None:
+                    from gs2pc.utils.checkpoint import save_accumulators
+
+                    save_accumulators(
+                        settings.save_sweep, acc, gaussians.num_gaussians
+                    )
 
         log.info(f"\nNumber Initial Gaussians: {gaussians.num_gaussians}")
 

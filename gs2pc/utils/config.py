@@ -38,6 +38,7 @@ class RenderConfig(NamedTuple):
     run_chunk: int = 128  # gaussians blended per inner step
     tile_batch: int = 256  # tiles processed per outer step
     camera_chunk: int = 1  # cameras per jitted sweep step
+    use_pallas: str = "auto"  # "auto" | "on" | "off" — Pallas blend kernel
 
 
 class GaussPointCloudSettings(NamedTuple):
@@ -63,6 +64,9 @@ class GaussPointCloudSettings(NamedTuple):
     generate_mesh: bool = False
     quiet: bool = False
     seed: int = 0
+    sh_colour_eval: bool = False  # full view-dependent SH during the sweep
+    save_sweep: Optional[str] = None  # checkpoint accumulators after sweep
+    load_sweep: Optional[str] = None  # resume accumulators, skip the sweep
     render: RenderConfig = RenderConfig()
 
 
@@ -145,6 +149,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--tile_slots", type=int, default=16, help="Max tiles a single Gaussian may cover in the tile renderer (static capacity)")
     p.add_argument("--max_pairs_per_tile", type=int, default=4096, help="Per-tile depth-run capacity in the tile renderer")
     p.add_argument("--num_devices", type=int, default=0, help="Number of devices to shard the camera sweep/sampler over (0 = all local devices)")
+    p.add_argument("--sh_colour_eval", action="store_true", help="Evaluate full view-dependent spherical harmonics per camera during the colour sweep (reference pipelines use degree-0 colours)")
+    p.add_argument("--save_sweep", type=str, default=None, help="Save per-Gaussian sweep accumulators (colours/contributions/surface distances) to this .npz for later reuse")
+    p.add_argument("--load_sweep", type=str, default=None, help="Load sweep accumulators from this .npz instead of re-rendering all cameras")
+    p.add_argument("--pallas", type=str, default="auto", choices=["auto", "on", "off"], help="Use the hand-written Pallas TPU blend kernel ('auto' enables it on TPU backends)")
     return p
 
 
@@ -243,8 +251,12 @@ def settings_from_args(args: argparse.Namespace) -> GaussPointCloudSettings:
         quiet=args.quiet,
         remove_unrendered_gaussians=args.visibility_threshold > 0,
         seed=args.seed,
+        sh_colour_eval=args.sh_colour_eval,
+        save_sweep=args.save_sweep,
+        load_sweep=args.load_sweep,
         render=RenderConfig(
             slots_per_gaussian=args.tile_slots,
             max_pairs_per_tile=args.max_pairs_per_tile,
+            use_pallas=args.pallas,
         ),
     )
