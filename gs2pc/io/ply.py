@@ -282,6 +282,11 @@ def save_xyz_to_ply(
     if normals_points is not None:
         normals_points = np.asarray(normals_points)
 
+    # Native fast path: multithreaded interleave + streaming write
+    # (gs2pc/native/plyio.cpp); byte-identical output to the numpy path.
+    if _native_write(xyz_points, filename, rgb_colors, normals_points, chunk_size):
+        return
+
     if normals_points is not None:
         header = (
             "ply\nformat binary_little_endian 1.0\n"
@@ -327,6 +332,40 @@ def save_xyz_to_ply(
                 cols[:, 0], cols[:, 1], cols[:, 2],
             )
             fh.write(vertex.tobytes())
+
+
+def _native_write(xyz, filename, rgb, normals, chunk_size) -> bool:
+    """Try the C++ writer; returns False to fall back to numpy."""
+    try:
+        from gs2pc.native import load as load_native
+
+        lib = load_native()
+    except Exception:  # noqa: BLE001
+        return False
+    if lib is None:
+        return False
+
+    import ctypes
+
+    n = xyz.shape[0]
+    xyz32 = np.ascontiguousarray(xyz, np.float32)
+    rgb8 = np.ascontiguousarray(np.clip(rgb, 0, 255), np.uint8)
+    if rgb8.shape != (n, 3):
+        return False
+    nrm32 = None
+    nrm_ptr = None
+    if normals is not None:
+        nrm32 = np.ascontiguousarray(normals, np.float32)
+        nrm_ptr = nrm32.ctypes.data_as(ctypes.c_void_p)
+    rc = lib.gs2pc_write_ply(
+        filename.encode(),
+        n,
+        xyz32.ctypes.data_as(ctypes.c_void_p),
+        nrm_ptr,
+        rgb8.ctypes.data_as(ctypes.c_void_p),
+        int(chunk_size),
+    )
+    return rc == 0
 
 
 def read_xyz_ply(path: str):

@@ -1,0 +1,70 @@
+"""Native (C++) host runtime components, loaded via ctypes.
+
+Built on demand with g++ (no pybind11 dependency); every entry point has a
+pure-numpy fallback in gs2pc.io, so the package works without a compiler.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional
+
+_LOCK = threading.Lock()
+_LIB: Optional[ctypes.CDLL] = None
+_TRIED = False
+
+_SRC = os.path.join(os.path.dirname(__file__), "plyio.cpp")
+_SO = os.path.join(os.path.dirname(__file__), "_gs2pc_native.so")
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(
+            [
+                "g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
+                _SRC, "-o", _SO,
+            ],
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
+        return True
+    except Exception:  # noqa: BLE001 — any failure -> numpy fallback
+        return False
+
+
+def load() -> Optional[ctypes.CDLL]:
+    """Load (building if needed) the native library, or None."""
+    global _LIB, _TRIED
+    with _LOCK:
+        if _LIB is not None or _TRIED:
+            return _LIB
+        _TRIED = True
+        if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+            if not _build():
+                return None
+        try:
+            lib = ctypes.CDLL(_SO)
+        except OSError:
+            return None
+        lib.gs2pc_write_ply.restype = ctypes.c_int
+        lib.gs2pc_write_ply.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_int64,
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_void_p,
+            ctypes.c_int64,
+        ]
+        lib.gs2pc_deinterleave_f32.restype = ctypes.c_int
+        lib.gs2pc_deinterleave_f32.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_int64,
+            ctypes.c_int32,
+            ctypes.c_void_p,
+        ]
+        _LIB = lib
+        return _LIB
