@@ -236,11 +236,13 @@ def _blend_kernel(
         eda_ref[:] = eda_ref[:] + jnp.sum(w * dep, axis=1, keepdims=True)
         safe_dep = jnp.where(jnp.abs(dep) < 1e-12, 1e-12, dep)
         einva_ref[:] = einva_ref[:] + jnp.sum(w / safe_dep, axis=1, keepdims=True)
-        # lane-prod is unsupported; 1-a_used is in [0.01, 1] (alpha clamp
-        # 0.99) so exp-sum-log is numerically safe.
-        t_ref[:] = T * jnp.exp(
-            jnp.sum(jnp.log(1.0 - a_used), axis=1, keepdims=True)
+        # Lane reduce_prod is unsupported in Mosaic; take the full product
+        # as the last column of an inclusive product scan (exact in f32,
+        # unlike exp-sum-log), extracted by rolling lane rs-1 to lane 0.
+        cp_used, _ = _cum_excl_lane(
+            1.0 - a_used, jnp.float32(1.0), jax.lax.mul, rs
         )
+        t_ref[:] = T * pltpu.roll(cp_used, 1, axis=1)[:, 0:1]
         done_ref[:] = jnp.maximum(
             done_ref[:],
             jnp.max(trigger.astype(jnp.float32), axis=1, keepdims=True),
@@ -349,15 +351,15 @@ def pallas_blend(
         num_scalar_prefetch=3,
         grid=(NTP,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # pair_tab stays in HBM
+            pl.BlockSpec(memory_space=pltpu.HBM),  # pair_tab stays in HBM
             pl.BlockSpec((1, TPX, 1), lambda t, *_: (t, 0, 0)),  # mask tile
         ],
         out_specs=[
             pl.BlockSpec((1, TPX, 3), lambda t, *_: (t, 0, 0)),
             pl.BlockSpec((1, TPX, 1), lambda t, *_: (t, 0, 0)),
             pl.BlockSpec((1, TPX, 1), lambda t, *_: (t, 0, 0)),
-            pl.BlockSpec(memory_space=pltpu.ANY),  # m (pair-aligned, HBM)
-            pl.BlockSpec(memory_space=pltpu.ANY),  # apix
+            pl.BlockSpec(memory_space=pltpu.HBM),  # m (pair-aligned, HBM)
+            pl.BlockSpec(memory_space=pltpu.HBM),  # apix
         ],
         scratch_shapes=[
             pltpu.VMEM((TABLE_LANES, rs), jnp.float32),
@@ -388,7 +390,10 @@ def pallas_blend(
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
     )(
         pairs.starts,
         pairs.counts,

@@ -26,7 +26,8 @@ class Preprocessed(NamedTuple):
     xy: jnp.ndarray  # (P, 2) pixel-space centre
     conic: jnp.ndarray  # (P, 3) inverse 2D covariance (A, B, C)
     opacity: jnp.ndarray  # effective opacity (incl. antialias scaling)
-    radius: jnp.ndarray  # (P,) pixel radius (ceil(3 sqrt(lambda_max)))
+    radius: jnp.ndarray  # (P,) rect radius: ceil(min(3 sigma, r_alpha))
+    r_alpha_sq: jnp.ndarray  # (P,) squared alpha-cutoff radius (exact cull)
     rect_min: jnp.ndarray  # (P, 2) int32 tile-coords inclusive min (x, y)
     rect_max: jnp.ndarray  # (P, 2) int32 tile-coords exclusive max (x, y)
     tiles_touched: jnp.ndarray  # (P,) int32
@@ -120,7 +121,19 @@ def preprocess(
     mid = 0.5 * (cov_a + cov_c)
     disc = jnp.sqrt(jnp.maximum(0.1, mid * mid - det))
     lambda_max = mid + disc
-    radius = jnp.ceil(3.0 * jnp.sqrt(jnp.maximum(lambda_max, 0.0)))
+    # Adaptive radius (AdR-Gaussian, arXiv 2409.08669): beyond
+    # r_alpha = sqrt(2 lambda_max ln(255 opa)) the best-case alpha is
+    # already < 1/255, which the blend skips (forward.cu:412) — so
+    # min(3 sigma, r_alpha) culls pairs EXACTLY, changing no output.
+    ln_term = jnp.log(jnp.maximum(255.0 * opacity, 1e-12))
+    # r_alpha^2 bounds where alpha can reach 1/255 at all (with a small
+    # safety factor for f32 rounding in the blend's exp);
+    # the RECT radius additionally caps at the reference's 3 sigma.
+    r_alpha_sq = (
+        2.0 * jnp.maximum(lambda_max, 0.0) * jnp.maximum(ln_term, 0.0)
+    ) * 1.0001 + 1e-3
+    r_sq = jnp.minimum(9.0 * jnp.maximum(lambda_max, 0.0), r_alpha_sq)
+    radius = jnp.ceil(jnp.sqrt(r_sq))
 
     grid_w = (width + tile - 1) // tile
     grid_h = (height + tile - 1) // tile
@@ -138,7 +151,14 @@ def preprocess(
     )
     tiles_touched = (rect_max_x - rect_min_x) * (rect_max_y - rect_min_y)
 
-    valid = alive & in_front & invertible & (tiles_touched > 0)
+    # opacity < 1/255 can never pass the blend's alpha cutoff anywhere.
+    valid = (
+        alive
+        & in_front
+        & invertible
+        & (tiles_touched > 0)
+        & (opacity >= 1.0 / 255.0)
+    )
 
     return Preprocessed(
         depth=depth,
@@ -146,6 +166,7 @@ def preprocess(
         conic=conic,
         opacity=opacity,
         radius=radius,
+        r_alpha_sq=r_alpha_sq,
         rect_min=jnp.stack([rect_min_x, rect_min_y], axis=-1),
         rect_max=jnp.stack([rect_max_x, rect_max_y], axis=-1),
         tiles_touched=tiles_touched.astype(jnp.int32),

@@ -111,7 +111,25 @@ def _build_pairs(prep, order, cfg: TileConfig):
     dy = k[None, :] // jnp.maximum(s_w, 1)[:, None]
     slot_ok = valid[:, None] & (dy < s_h[:, None])
 
-    tile_id = (oy[:, None] + dy) * cfg.grid_w + (ox[:, None] + dx)
+    # Circle-vs-tile test (AdR-Gaussian-style): drop slots whose tile rect
+    # lies entirely beyond the (adaptive) radius — their best-case alpha is
+    # below the blend's 1/255 cutoff, so this culls pairs exactly.
+    tile_x = ox[:, None] + dx
+    tile_y = oy[:, None] + dy
+    cx = jnp.clip(
+        xy[:, 0:1], tile_x.astype(jnp.float32) * cfg.tile,
+        tile_x.astype(jnp.float32) * cfg.tile + (cfg.tile - 1),
+    )
+    cy = jnp.clip(
+        xy[:, 1:2], tile_y.astype(jnp.float32) * cfg.tile,
+        tile_y.astype(jnp.float32) * cfg.tile + (cfg.tile - 1),
+    )
+    ddx = cx - xy[:, 0:1]
+    ddy = cy - xy[:, 1:2]
+    r_alpha_sq = prep.r_alpha_sq[order][:, None]
+    slot_ok = slot_ok & (ddx * ddx + ddy * ddy <= r_alpha_sq)
+
+    tile_id = tile_y * cfg.grid_w + tile_x
     keys = jnp.where(slot_ok, tile_id, _KEY_SENTINEL).reshape(-1)
     pair_g = jnp.broadcast_to(
         jnp.arange(order.shape[0], dtype=jnp.int32)[:, None], (order.shape[0], S)
