@@ -44,11 +44,11 @@ def test_mixed_resolutions_match_individual_renders():
 
     np.testing.assert_allclose(
         np.asarray(acc.max_contribution),
-        np.asarray(acc_ref.max_contribution), atol=1e-6,
+        np.asarray(acc_ref.max_contribution), atol=1e-5,
     )
     np.testing.assert_allclose(
         np.asarray(acc.total_contribution),
-        np.asarray(acc_ref.total_contribution), atol=1e-6,
+        np.asarray(acc_ref.total_contribution), atol=1e-5,
     )
 
     # Out-of-frame pixels of the smaller cameras must not contribute:
