@@ -125,6 +125,50 @@ class TestConvert:
         )
         assert total.points.shape[0] > 3000
 
+    def test_exact_num_points(self, scene_files):
+        from gs2pc.pipeline import convert_3dgs_to_pc
+
+        splat_path, json_path = scene_files
+        total, _ = convert_3dgs_to_pc(
+            splat_path, json_path, None,
+            small_settings(num_points=8000, exact_num_points=True),
+        )
+        assert abs(total.points.shape[0] - 8000) < 200
+
+    def test_no_prioritise_and_cull_sizes(self, scene_files):
+        from gs2pc.pipeline import convert_3dgs_to_pc
+
+        splat_path, json_path = scene_files
+        total, _ = convert_3dgs_to_pc(
+            splat_path, json_path, None,
+            small_settings(
+                num_points=5000,
+                prioritise_visible_gaussians=False,
+                cull_large_percentage=0.2,
+            ),
+        )
+        assert total.points.shape[0] > 3000
+
+    def test_masks_through_pipeline(self, scene_files, tmp_path):
+        import os
+
+        from PIL import Image
+
+        from gs2pc.pipeline import convert_3dgs_to_pc
+
+        splat_path, json_path = scene_files
+        mask_dir = str(tmp_path / "masks")
+        os.makedirs(mask_dir)
+        # mask half of camera 0's image; other cameras get no mask
+        arr = np.zeros((64, 64), np.uint8)
+        arr[:, 32:] = 255
+        Image.fromarray(arr).save(os.path.join(mask_dir, "cam_00.png"))
+        total, _ = convert_3dgs_to_pc(
+            splat_path, json_path, mask_dir,
+            small_settings(num_points=5000),
+        )
+        assert total.points.shape[0] > 3000
+
     def test_empty_cull_raises(self, scene_files):
         from gs2pc.pipeline import convert_3dgs_to_pc
 
