@@ -16,6 +16,12 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
     from gs2pc.io.ply import save_xyz_to_ply
     from gs2pc.pipeline import PointCloudData, convert_3dgs_to_pc
 
+    profiling = args.profile_dir is not None
+    if profiling:
+        import jax
+
+        jax.profiler.start_trace(args.profile_dir)
+
     total_point_cloud, surface_point_cloud = convert_3dgs_to_pc(
         args.input_path,
         args.transform_path,
@@ -23,6 +29,12 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
         settings,
         num_devices=args.num_devices if args.num_devices else 1,
     )
+
+    if profiling:
+        import jax
+
+        jax.profiler.stop_trace()
+        log.info(f"Profiler trace written to {args.profile_dir}")
 
     if args.clean_pointcloud:
         log.info("Cleaning Point Cloud\n")

@@ -153,6 +153,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--save_sweep", type=str, default=None, help="Save per-Gaussian sweep accumulators (colours/contributions/surface distances) to this .npz for later reuse")
     p.add_argument("--load_sweep", type=str, default=None, help="Load sweep accumulators from this .npz instead of re-rendering all cameras")
     p.add_argument("--pallas", type=str, default="auto", choices=["auto", "on", "off"], help="Use the hand-written Pallas TPU blend kernel ('auto' enables it on TPU backends)")
+    p.add_argument("--profile_dir", type=str, default=None, help="Write a jax.profiler trace of the conversion to this directory (view with TensorBoard/XProf)")
     return p
 
 
