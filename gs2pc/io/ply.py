@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import io
 import os
-from typing import Iterable, Optional
+from typing import Optional
 
 import numpy as np
 

@@ -10,7 +10,7 @@ the reference python renderer is unnecessary because chunking is explicit.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

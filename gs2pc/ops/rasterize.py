@@ -33,7 +33,7 @@ early-exited anyway, so the dropped tail is invisible.
 
 from __future__ import annotations
 
-import functools
+
 from typing import NamedTuple, Optional
 
 import jax

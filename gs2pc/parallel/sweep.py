@@ -18,11 +18,11 @@ the reference's (nonexistent) multi-device story.
 from __future__ import annotations
 
 import functools
-from typing import Callable, NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import NamedSharding, PartitionSpec as P
+from jax.sharding import PartitionSpec as P
 
 from gs2pc.camera import CameraBatch
 from gs2pc.ops.blend import FLOAT_MAX, RenderOutput
