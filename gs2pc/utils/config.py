@@ -37,7 +37,6 @@ class RenderConfig(NamedTuple):
     max_pairs_per_tile: int = 4096  # per-tile run cap (front-to-back)
     run_chunk: int = 128  # gaussians blended per inner step
     tile_batch: int = 256  # tiles processed per outer step
-    camera_chunk: int = 1  # cameras per jitted sweep step
     use_pallas: str = "auto"  # "auto" | "on" | "off" — Pallas blend kernel
 
 
