@@ -42,7 +42,7 @@ import jax.numpy as jnp
 from gs2pc.ops.blend import FLOAT_MAX, RenderOutput, blend_chunk, init_carry
 from gs2pc.ops.projection import preprocess
 
-_KEY_SENTINEL = jnp.int32(2**30)
+_KEY_SENTINEL = 2**30  # tile-key sentinel (plain int: no device alloc at import)
 
 
 class TileConfig(NamedTuple):
