@@ -79,6 +79,7 @@ def main():
     n_cams = int(os.environ.get("GS2PC_BENCH_CAMERAS", 6))
     width = int(os.environ.get("GS2PC_BENCH_WIDTH", 1280))
     height = int(os.environ.get("GS2PC_BENCH_HEIGHT", 720))
+    use_pallas = os.environ.get("GS2PC_BENCH_PALLAS", "0") == "1"
 
     scene = make_scene(n_gauss).calculate_normals()
     cameras, wp, hp = make_cameras(n_cams, width, height)
@@ -95,7 +96,9 @@ def main():
     )
 
     sweep = jax.jit(
-        lambda a, c: render_sweep(a, c, cfg, calc_surface_distance=False)
+        lambda a, c: render_sweep(
+            a, c, cfg, calc_surface_distance=False, use_pallas=use_pallas
+        )
     )
 
     n_cap = n_points + max(4096, n_points // 20)
