@@ -121,17 +121,24 @@ def sample_points(
 
     z, ok = jax.lax.fori_loop(1, num_attempts, body, (z, ok))
 
-    # x = mean + R (exp(s) * z); centres use z = 0 exactly.
+    # x = mean + R (exp(s) * z); centres use z = 0 exactly.  All per-
+    # Gaussian attributes are packed into one row so the (N_cap,) map
+    # costs a single row gather on TPU instead of five.
     z = jnp.where(is_centre[:, None], 0.0, z)
-    R = quat_to_rotmat(gaussians.rots[g])
-    scaled = jnp.exp(gaussians.log_scales[g]) * z
-    pts = gaussians.xyz[g] + jnp.einsum("nij,nj->ni", R, scaled)
+    cols = [gaussians.xyz, gaussians.log_scales, gaussians.rots, gaussians.colours]
+    if gaussians.normals is not None:
+        cols.append(gaussians.normals)
+    packed = jnp.concatenate(cols, axis=1)[g]
+    xyz_g = packed[:, 0:3]
+    scales_g = jnp.exp(packed[:, 3:6])
+    R = quat_to_rotmat(packed[:, 6:10])
+    pts = xyz_g + jnp.einsum("nij,nj->ni", R, scales_g * z)
 
     valid = in_budget & (ok | is_centre)
-    normals = None if gaussians.normals is None else gaussians.normals[g]
+    normals = packed[:, 13:16] if gaussians.normals is not None else None
     return SampledPoints(
         points=pts,
-        colours=gaussians.colours[g],
+        colours=packed[:, 10:13],
         normals=normals,
         gaussian_idx=g,
         valid=valid,
