@@ -85,7 +85,7 @@ def main():
     cameras, wp, hp = make_cameras(n_cams, width, height)
     cfg = TileConfig(
         width_pad=wp, height_pad=hp,
-        slots=16, run_cap=4096, run_chunk=256, tile_batch=128,
+        slots=16, run_cap=4096, run_chunk=128, tile_batch=128,
     )
     arrays = (
         scene.xyz,
