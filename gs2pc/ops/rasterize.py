@@ -236,21 +236,16 @@ def render_tile_camera(
             valid_px = valid_px & (mask_flat[pixid] != 0)
         return px, pixid, valid_px
 
-    # Pre-gather the packed table into SORTED PAIR ORDER once per camera:
-    # each chunk then needs a single locality-friendly row gather (runs are
-    # contiguous) instead of an index indirection plus a scattered gather.
-    run_tab = table[pair_g][:, :10]  # (L, 10)
-    gid_by_pair = order[pair_g]  # (L,) original Gaussian id per sorted pair
-
     def gather_run(start, count, r):
         offs = r * Rs + jnp.arange(Rs, dtype=jnp.int32)  # (Rs,)
         idx = start[:, None] + offs[None, :]  # (TB, Rs)
         in_run = offs[None, :] < count[:, None]
         safe = jnp.clip(idx, 0, L - 1)
-        return safe, idx, in_run
+        pg = pair_g[safe]
+        return pg, idx, in_run
 
-    def chunk_tables(safe):
-        t = run_tab[safe]  # (TB, Rs, 10) — one packed gather
+    def chunk_tables(pg):
+        t = table[pg]  # (TB, Rs, 10) — one packed gather
         return (
             t[..., 0:2],  # xy
             t[..., 2:5],  # conic
@@ -280,8 +275,8 @@ def render_tile_camera(
 
         def body(state):
             r, carry, m_buf, apix_buf = state
-            safe, idx, in_run = gather_run(start, count, r)
-            xy, conic, op, col, dep = chunk_tables(safe)
+            pg, idx, in_run = gather_run(start, count, r)
+            xy, conic, op, col, dep = chunk_tables(pg)
             new_carry, w = blend_chunk(carry, px, xy, conic, op, col, dep, in_run)
             m = jnp.max(w, axis=1)  # (TB, Rs)
             arg = jnp.argmax(w, axis=1).astype(jnp.int32)
@@ -334,7 +329,7 @@ def render_tile_camera(
     # Per-Gaussian reductions (deterministic replacements for CUDA atomics).
     m_flat = m_buf[:L]
     apix_flat = apix_buf[:L]
-    gid_flat = gid_by_pair  # original Gaussian index per pair
+    gid_flat = order[pair_g]  # original Gaussian index per pair
     contrib = jax.ops.segment_max(
         m_flat, gid_flat, num_segments=P, indices_are_sorted=False
     )
@@ -369,8 +364,8 @@ def render_tile_camera(
 
             def body(state):
                 r, sd_buf = state
-                safe, idx, in_run = gather_run(start, count, r)
-                dep = run_tab[safe][..., 9]
+                pg, idx, in_run = gather_run(start, count, r)
+                dep = table[pg][..., 9]
                 dist = jnp.abs(dep[:, None, :] - ed_b[:, :, None])
                 ok = valid_px[:, :, None] & in_run[:, None, :]
                 dist = jnp.where(ok, dist, FLOAT_MAX)
