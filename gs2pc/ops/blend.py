@@ -59,6 +59,25 @@ def init_carry(shape_px: tuple, done0: jnp.ndarray) -> BlendCarry:
     )
 
 
+def _scan_incl(x: jnp.ndarray, identity: float, op) -> jnp.ndarray:
+    """Inclusive Hillis-Steele scan along the last axis (log2(n) steps)."""
+    n = x.shape[-1]
+    acc = x
+    s = 1
+    while s < n:
+        fill = jnp.full_like(acc[..., :s], identity)
+        acc = op(acc, jnp.concatenate([fill, acc[..., :-s]], axis=-1))
+        s *= 2
+    return acc
+
+
+def _scan_excl(x: jnp.ndarray, identity: float, op) -> jnp.ndarray:
+    """Exclusive scan along the last axis."""
+    inc = _scan_incl(x, identity, op)
+    fill = jnp.full_like(inc[..., :1], identity)
+    return jnp.concatenate([fill, inc[..., :-1]], axis=-1)
+
+
 def blend_chunk(
     carry: BlendCarry,
     px: jnp.ndarray,  # (..., Npx, 2) pixel centre coords
@@ -94,28 +113,27 @@ def blend_chunk(
         contrib_ok = contrib_ok & pair_mask
     a0 = jnp.where(contrib_ok, alpha, 0.0)
 
-    # T before each gaussian in the chunk (exclusive cumprod).
-    cp = jnp.cumprod(1.0 - a0, axis=-1)
-    t_before = carry.transmittance[..., :, None] * jnp.concatenate(
-        [jnp.ones_like(cp[..., :1]), cp[..., :-1]], axis=-1
-    )
+    # T before each gaussian in the chunk (exclusive cumprod).  Explicit
+    # Hillis-Steele log-step scans: XLA's cumprod/cumsum can lower to a
+    # sequential loop on TPU, which dominates the whole blend.
+    cp_excl = _scan_excl(1.0 - a0, 1.0, jnp.multiply)
+    t_before = carry.transmittance[..., :, None] * cp_excl
 
     trigger = contrib_ok & (t_before * (1.0 - alpha) < T_EPS)
-    seen = jnp.cumsum(trigger.astype(jnp.int32), axis=-1) > 0  # inclusive
+    seen = _scan_incl(trigger.astype(jnp.float32), 0.0, jnp.maximum) > 0.5
     allowed = ~seen
     a_used = a0 * allowed
     w = a_used * t_before  # (..., Npx, C); zero wherever skipped
 
-    new_colour = carry.colour + jnp.einsum(
-        "...pc,...cd->...pd", w, colour, preferred_element_type=jnp.float32
+    # Elementwise multiply + lane reduction instead of einsum: an N=3 (or
+    # N=1) dot pads to 128 MXU lanes on TPU — 40x wasted FLOPs.
+    new_colour = carry.colour + jnp.stack(
+        [jnp.sum(w * colour[..., None, :, ch], axis=-1) for ch in range(3)],
+        axis=-1,
     )
-    new_ed = carry.exp_depth + jnp.einsum(
-        "...pc,...c->...p", w, depth, preferred_element_type=jnp.float32
-    )
+    new_ed = carry.exp_depth + jnp.sum(w * depth[..., None, :], axis=-1)
     inv_d = 1.0 / jnp.where(jnp.abs(depth) < 1e-12, 1e-12, depth)
-    new_einv = carry.exp_invdepth + jnp.einsum(
-        "...pc,...c->...p", w, inv_d, preferred_element_type=jnp.float32
-    )
+    new_einv = carry.exp_invdepth + jnp.sum(w * inv_d[..., None, :], axis=-1)
     new_T = carry.transmittance * jnp.prod(1.0 - a_used, axis=-1)
     new_done = carry.done | jnp.any(trigger, axis=-1)
 

@@ -254,12 +254,14 @@ def render_tile_camera(
             t[..., 9],  # depth
         )
 
-    # Pair-aligned output buffers (slot L is the dump slot for masked lanes).
+    # Pair-aligned output buffers (slot L is the dump slot for masked lanes)
+    # plus an online per-Gaussian max accumulator (slot P is its dump slot).
     m_buf0 = jnp.zeros(L + 1, jnp.float32)
     apix_buf0 = jnp.zeros(L + 1, jnp.int32)
+    gmax0 = jnp.zeros(P + 1, jnp.float32)
 
     def batch_step(bufs, b):
-        m_buf, apix_buf = bufs
+        m_buf, apix_buf, gmax = bufs
         tids = jax.lax.dynamic_slice_in_dim(tid_by_load, b * TB, TB)
         start = starts_all[tids]
         count = counts_all[tids]
@@ -270,11 +272,11 @@ def render_tile_camera(
         carry0 = init_carry((TB, tpx), done0=~valid_px)
 
         def cond(state):
-            r, carry, _, _ = state
+            r, carry, _, _, _ = state
             return (r < n_steps) & jnp.logical_not(jnp.all(carry.done))
 
         def body(state):
-            r, carry, m_buf, apix_buf = state
+            r, carry, m_buf, apix_buf, gmax = state
             pg, idx, in_run = gather_run(start, count, r)
             xy, conic, op, col, dep = chunk_tables(pg)
             new_carry, w = blend_chunk(carry, px, xy, conic, op, col, dep, in_run)
@@ -284,10 +286,12 @@ def render_tile_camera(
             slot = jnp.where(in_run, idx, L).reshape(-1)
             m_buf = m_buf.at[slot].set(m.reshape(-1), unique_indices=False)
             apix_buf = apix_buf.at[slot].set(apix.reshape(-1))
-            return r + 1, new_carry, m_buf, apix_buf
+            gslot = jnp.where(in_run, order[pg], P).reshape(-1)
+            gmax = gmax.at[gslot].max(m.reshape(-1))
+            return r + 1, new_carry, m_buf, apix_buf, gmax
 
-        _, carry, m_buf, apix_buf = jax.lax.while_loop(
-            cond, body, (jnp.int32(0), carry0, m_buf, apix_buf)
+        _, carry, m_buf, apix_buf, gmax = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), carry0, m_buf, apix_buf, gmax)
         )
 
         bg = jnp.float32(1.0 if white_bkgd else 0.0)
@@ -298,10 +302,10 @@ def render_tile_camera(
         )
         tile_ed = jnp.where(valid_px, carry.exp_depth, 0.0)
         tile_einv = jnp.where(valid_px, carry.exp_invdepth, 0.0)
-        return (m_buf, apix_buf), (tile_col, tile_ed, tile_einv)
+        return (m_buf, apix_buf, gmax), (tile_col, tile_ed, tile_einv)
 
-    (m_buf, apix_buf), (tiles_col, tiles_ed, tiles_einv) = jax.lax.scan(
-        batch_step, (m_buf0, apix_buf0), jnp.arange(NB, dtype=jnp.int32)
+    (m_buf, apix_buf, gmax), (tiles_col, tiles_ed, tiles_einv) = jax.lax.scan(
+        batch_step, (m_buf0, apix_buf0, gmax0), jnp.arange(NB, dtype=jnp.int32)
     )
 
     # Tiles were visited in load order; scatter back to tile-id order.
@@ -327,18 +331,39 @@ def render_tile_camera(
     einv = untile(tiles_einv)
 
     # Per-Gaussian reductions (deterministic replacements for CUDA atomics).
-    m_flat = m_buf[:L]
-    apix_flat = apix_buf[:L]
-    gid_flat = order[pair_g]  # original Gaussian index per pair
-    contrib = jax.ops.segment_max(
-        m_flat, gid_flat, num_segments=P, indices_are_sorted=False
-    )
-    contrib = jnp.maximum(contrib, 0.0)  # empty segments -> 0 (CUDA init)
+    # contrib comes from the online scatter-max; the argmax-pixel equality
+    # pass runs over DYNAMIC PREFIX WINDOWS of the sorted pair array — all
+    # real pairs are a contiguous prefix [0, R) (sentinels sort last), so
+    # the scatter volume is the true pair count, not the static capacity.
+    contrib = jnp.maximum(gmax[:P], 0.0)  # empty segments -> 0 (CUDA init)
+    n_real = jnp.searchsorted(keys, jnp.int32(cfg.num_tiles)).astype(jnp.int32)
+    contrib_ext = jnp.concatenate([contrib, jnp.zeros(1, jnp.float32)])
 
-    hit = (m_flat > 0.0) & (m_flat == contrib[gid_flat])
-    pix_cand = jnp.where(hit, apix_flat, -1)
-    best_pix = jax.ops.segment_max(pix_cand, gid_flat, num_segments=P)
-    best_pix = jnp.maximum(best_pix, -1)
+    W_POST = min(1 << 20, L)
+    n_win_cap = -(-L // W_POST)
+
+    def post_window(state):
+        win, best = state
+        off = win * W_POST
+        idx = off + jnp.arange(W_POST, dtype=jnp.int32)
+        ok = idx < n_real
+        safe = jnp.clip(idx, 0, L - 1)
+        gid = jnp.where(ok, order[pair_g[safe]], P)
+        m = m_buf[safe]
+        hit = ok & (m > 0.0) & (m >= contrib_ext[gid])
+        cand = jnp.where(hit, apix_buf[safe], -1)
+        best = best.at[gid].max(cand)
+        return win + 1, best
+
+    def post_cond(state):
+        win, _ = state
+        return (win * W_POST < n_real) & (win < n_win_cap)
+
+    _, best_ext = jax.lax.while_loop(
+        post_cond, post_window,
+        (jnp.int32(0), jnp.full(P + 1, -1, jnp.int32)),
+    )
+    best_pix = best_ext[:P]
     img_flat = image.reshape(-1, 3)
     best_colour = jnp.where(
         (best_pix >= 0)[:, None], img_flat[jnp.maximum(best_pix, 0)], 0.0
@@ -380,8 +405,22 @@ def render_tile_camera(
         sd_buf, _ = jax.lax.scan(
             surf_batch, sd_buf0, jnp.arange(NB, dtype=jnp.int32)
         )
-        surf = jax.ops.segment_min(sd_buf[:L], gid_flat, num_segments=P)
-        surf = jnp.where(jnp.isinf(surf), FLOAT_MAX, surf)
+
+        def surf_window(state):
+            win, smin = state
+            off = win * W_POST
+            idx = off + jnp.arange(W_POST, dtype=jnp.int32)
+            ok = idx < n_real
+            safe = jnp.clip(idx, 0, L - 1)
+            gid = jnp.where(ok, order[pair_g[safe]], P)
+            smin = smin.at[gid].min(jnp.where(ok, sd_buf[safe], FLOAT_MAX))
+            return win + 1, smin
+
+        _, surf_ext = jax.lax.while_loop(
+            post_cond, surf_window,
+            (jnp.int32(0), jnp.full(P + 1, FLOAT_MAX, jnp.float32)),
+        )
+        surf = surf_ext[:P]
     else:
         surf = jnp.full(P, FLOAT_MAX, jnp.float32)
 
