@@ -127,12 +127,30 @@ def generate_mesh(
     """
     try:
         import open3d as o3d
-    except ImportError as e:
-        raise ImportError(
-            "Mesh generation requires Open3D (optional dependency, exactly "
-            "as in the reference pipeline). Install open3d, or run without "
-            "--generate_mesh."
-        ) from e
+    except ImportError:
+        # Native fallback: density-grid marching tetrahedra + Laplacian
+        # smoothing (gs2pc/meshing_native.py).  The reference simply
+        # cannot mesh without Open3D; gs2pc still produces a surface.
+        from gs2pc.meshing_native import generate_mesh_native
+        from gs2pc.utils import log
+
+        log.info(
+            "Open3D not available - using the native marching-tetrahedra "
+            "surface reconstruction"
+        )
+        pts = np.asarray(points)
+        keep = np.asarray(
+            statistical_outlier_mask(
+                jnp.asarray(pts, jnp.float32), nb_neighbors=20,
+                std_ratio=std_ratio,
+            )
+        )
+        cols = None if colours is None else np.asarray(colours)[keep]
+        generate_mesh_native(
+            pts[keep], cols, normals, output_path,
+            depth=depth, laplacian_iters=laplacian_iters,
+        )
+        return
 
     pc = o3d.geometry.PointCloud()
     pc.points = o3d.utility.Vector3dVector(np.asarray(points, np.float64))
