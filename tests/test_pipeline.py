@@ -200,6 +200,33 @@ class TestCLI:
         assert abs(pts.shape[0] - 5000) < 600
         assert nrm is not None
 
+    def test_cli_generate_mesh_native(self, scene_files, tmp_path):
+        """--generate_mesh end-to-end via the native mesher (no Open3D)."""
+        from gs2pc.io.ply import read_ply
+
+        splat_path, json_path = scene_files
+        out_path = str(tmp_path / "pc.ply")
+        mesh_path = str(tmp_path / "mesh.ply")
+        cli_main(
+            [
+                "--input_path", splat_path,
+                "--transform_path", json_path,
+                "--output_path", out_path,
+                "--mesh_output_path", mesh_path,
+                "--generate_mesh",
+                "--poisson_depth", "6",
+                "--laplacian_iterations", "2",
+                "--num_points", "20000",
+                "--colour_quality", "original",
+                "--tile_slots", "32",
+                "--max_pairs_per_tile", "256",
+                "--quiet",
+            ]
+        )
+        elements = read_ply(mesh_path)
+        assert elements["vertex"].count > 50
+        assert elements["face"].count > 50
+
     def test_cli_validation_rules(self, tmp_path):
         base = ["--input_path", "x.ply"]
         with pytest.raises(AttributeError):
