@@ -83,6 +83,44 @@ class TestShardedSweep:
         )
 
 
+class TestShardedPipeline:
+    def test_convert_with_num_devices(self, tmp_path):
+        """convert_3dgs_to_pc with a 4-device camera mesh matches 1-device."""
+        import json
+
+        from gs2pc.io.splat import save_splat
+        from gs2pc.pipeline import convert_3dgs_to_pc
+        from tests.test_pipeline import small_settings
+        from tests.test_render import look_at_camera
+
+        scene = make_synthetic_scene(64, seed=23, scale_lo=-3.5, scale_hi=-1.5)
+        splat = str(tmp_path / "s.splat")
+        save_splat(
+            splat, np.asarray(scene.xyz), np.asarray(scene.log_scales),
+            np.asarray(scene.rots), np.asarray(scene.colours),
+            np.asarray(scene.opacities),
+        )
+        frames = []
+        for i in range(5):
+            c2w, _ = look_at_camera(angle=i * 1.2, width=48, height=48, focal=60.0)
+            frames.append({
+                "file_path": f"c{i}.png", "transform_matrix": c2w.tolist(),
+                "w": 48, "h": 48, "fl_x": 60.0,
+            })
+        tpath = str(tmp_path / "transforms.json")
+        json.dump({"frames": frames}, open(tpath, "w"))
+
+        settings = small_settings(num_points=3000)
+        total1, _ = convert_3dgs_to_pc(splat, tpath, None, settings)
+        total4, _ = convert_3dgs_to_pc(
+            splat, tpath, None, settings, num_devices=4
+        )
+        assert abs(total1.points.shape[0] - total4.points.shape[0]) < 50
+        np.testing.assert_allclose(
+            total1.colours.mean(axis=0), total4.colours.mean(axis=0), atol=1.0
+        )
+
+
 class TestSamplerSharding:
     def test_points_sharded(self):
         from gs2pc.ops.sampler import sample_points
