@@ -11,7 +11,7 @@ The reference repo publishes no quantitative numbers (BASELINE.md), so
 from BASELINE.json: 10M points in 30 s  =>  333,333 points/s.
 
 Env knobs: GS2PC_BENCH_GAUSSIANS, GS2PC_BENCH_POINTS, GS2PC_BENCH_CAMERAS,
-GS2PC_BENCH_WIDTH, GS2PC_BENCH_HEIGHT.
+GS2PC_BENCH_WIDTH, GS2PC_BENCH_HEIGHT, GS2PC_BENCH_PALLAS.
 """
 
 import json

@@ -25,19 +25,7 @@ from typing import Optional, Tuple
 
 import numpy as np
 
-# 6-tetrahedra decomposition of a cube, all sharing the 0-6 main diagonal.
-# Corner ids: bit 0 = +x, bit 1 = +y, bit 2 = +z.
-_TETS = np.array(
-    [
-        [0, 5, 1, 6],
-        [0, 1, 3, 6],
-        [0, 3, 2, 6],
-        [0, 2, 7, 6],  # corner 2 = (0,1,0); 7 = (1,1,1)... see offsets below
-        [0, 7, 4, 6],
-        [0, 4, 5, 6],
-    ],
-    np.int32,
-)
+# Cube corner ids: bit 0 = +x, bit 1 = +y, bit 2 = +z.
 _CORNER_OFFSETS = np.array(
     [
         [0, 0, 0],
@@ -51,7 +39,8 @@ _CORNER_OFFSETS = np.array(
     ],
     np.int32,
 )
-# Remap so the six tets share diagonal corner0 -> corner with offset (1,1,1).
+# 6-tetrahedra decomposition of the cube, all sharing the main diagonal
+# corner 0 (0,0,0) -> corner 7 (1,1,1).
 _TETS = np.array(
     [
         [0, 1, 3, 7],
