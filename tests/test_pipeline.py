@@ -227,6 +227,60 @@ class TestCLI:
         assert elements["vertex"].count > 50
         assert elements["face"].count > 50
 
+    def test_cli_clean_pointcloud(self, scene_files, tmp_path):
+        splat_path, json_path = scene_files
+        out_path = str(tmp_path / "clean.ply")
+        cli_main(
+            [
+                "--input_path", splat_path,
+                "--transform_path", json_path,
+                "--output_path", out_path,
+                "--clean_pointcloud",
+                "--num_points", "4000",
+                "--colour_quality", "original",
+                "--tile_slots", "32",
+                "--max_pairs_per_tile", "256",
+                "--quiet",
+            ]
+        )
+        pts, _, _ = read_xyz_ply(out_path)
+        assert 2000 < pts.shape[0] <= 4600
+
+    def test_cli_sh_colour_eval(self, tmp_path):
+        import json as jsonlib
+
+        from tests.test_io import write_3dgs_ply
+        from tests.test_render import look_at_camera
+
+        ply_path = str(tmp_path / "sh_scene.ply")
+        write_3dgs_ply(ply_path, n=64, seed=7)
+        frames = []
+        for i in range(2):
+            c2w, _ = look_at_camera(angle=i * 2.0, width=48, height=48, focal=50.0)
+            frames.append({
+                "file_path": f"c{i}.png", "transform_matrix": c2w.tolist(),
+                "w": 48, "h": 48, "fl_x": 50.0,
+            })
+        tpath = str(tmp_path / "transforms.json")
+        jsonlib.dump({"frames": frames}, open(tpath, "w"))
+        out_path = str(tmp_path / "sh_out.ply")
+        cli_main(
+            [
+                "--input_path", ply_path,
+                "--transform_path", tpath,
+                "--output_path", out_path,
+                "--sh_colour_eval",
+                "--num_points", "2000",
+                "--visibility_threshold", "0.0",
+                "--colour_quality", "original",
+                "--tile_slots", "32",
+                "--max_pairs_per_tile", "256",
+                "--quiet",
+            ]
+        )
+        pts, cols, _ = read_xyz_ply(out_path)
+        assert pts.shape[0] > 500
+
     def test_cli_validation_rules(self, tmp_path):
         base = ["--input_path", "x.ply"]
         with pytest.raises(AttributeError):
