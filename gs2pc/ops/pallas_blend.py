@@ -44,6 +44,10 @@ class AlignedPairs(NamedTuple):
     gid: jnp.ndarray  # (L_al,) int32 original Gaussian id (P = sentinel)
     starts: jnp.ndarray  # (NTP,) int32 aligned run start per tile
     counts: jnp.ndarray  # (NTP,) int32 true (capped) run length per tile
+    total: jnp.ndarray  # () int32 — aligned pairs actually occupied (prefix)
+
+
+_WINDOW = 1 << 20  # rows per dynamic prefix window
 
 
 def build_aligned_pairs(
@@ -68,7 +72,10 @@ def build_aligned_pairs(
     astarts = jnp.concatenate(
         [jnp.zeros(1, jnp.int32), jnp.cumsum(aligned)[:-1].astype(jnp.int32)]
     )
+    aligned_total = jnp.sum(aligned).astype(jnp.int32)
     L_al = L + NTP * run_chunk  # static capacity (alignment adds < Rs/tile)
+    W = min(_WINDOW, L_al)
+    L_al = -(-L_al // W) * W  # window-aligned capacity
 
     tile_of_pair = jnp.minimum(keys, NTP - 1)
     rank = jnp.arange(L, dtype=jnp.int32) - starts[tile_of_pair]
@@ -79,17 +86,61 @@ def build_aligned_pairs(
 
     table_ext = jnp.concatenate([table, jnp.zeros((1, TABLE_LANES), table.dtype)])
     order_ext = jnp.concatenate([order.astype(jnp.int32), jnp.full(1, P, jnp.int32)])
+
+    # Build the per-pair table over dynamic PREFIX WINDOWS: occupied slots
+    # are a contiguous prefix [0, aligned_total), so the expensive row
+    # gather touches only real pairs instead of the static capacity.
+    n_win_cap = L_al // W
+    tabT0 = jnp.zeros((TABLE_LANES, L_al), table.dtype)
+    gid0 = jnp.full(L_al, P, jnp.int32)
+
+    def win_cond(state):
+        w = state[0]
+        return (w * W < aligned_total) & (w < n_win_cap)
+
+    def win_body(state):
+        w, tabT, gid = state
+        off = w * W
+        idx_w = jax.lax.dynamic_slice_in_dim(idx_al, off, W)
+        rows = table_ext[idx_w]  # (W, 16) gather — real pairs only
+        tabT = jax.lax.dynamic_update_slice(tabT, rows.T, (0, off))
+        gid = jax.lax.dynamic_update_slice(gid, order_ext[idx_w], (off,))
+        return w + 1, tabT, gid
+
+    _, pair_tab, gid = jax.lax.while_loop(
+        win_cond, win_body, (jnp.int32(0), tabT0, gid0)
+    )
+
     return AlignedPairs(
-        pair_tab=table_ext[idx_al].T,  # (16, L_al), lanes = pairs
-        gid=order_ext[idx_al],
+        pair_tab=pair_tab,
+        gid=gid,
         starts=astarts,
         counts=counts,
+        total=aligned_total,
     )
 
 
 def _bcast_lanes(x, rs):
-    """(N, 1) -> (N, rs); Mosaic lacks implicit lane broadcast."""
+    """(N, 1) -> (N, rs); Mosaic lacks implicit lane broadcast.
+
+    Costly (~13 us per call on v5e) — used at most once per TILE, never
+    in the chunk loop (see the replicated-lane state design below).
+    """
     return pltpu.repeat(x, repeats=rs, axis=1)
+
+
+def _cum_excl_lane_rev(x, identity, op, rs):
+    """Suffix (right-to-left) Hillis-Steele scan + exclusive shift."""
+    col = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    acc = x
+    s = 1
+    while s < rs:
+        # roll(x, -s) == roll(x, rs - s); pltpu.roll wants shift >= 0
+        rolled = pltpu.roll(acc, rs - s, axis=1)
+        acc = op(acc, jnp.where(col >= rs - s, identity, rolled))
+        s *= 2
+    excl = jnp.where(col >= rs - 1, identity, pltpu.roll(acc, rs - 1, axis=1))
+    return acc, excl
 
 
 def _cum_excl_lane(x, identity, op, rs):
@@ -114,19 +165,19 @@ def _blend_kernel(
     dims_ref,  # (4,) int32: width, height, num_tiles, bg_is_white
     # inputs
     pair_tab_ref,  # (16, L_al) f32 in HBM
-    mask_ref,  # (1, TPX, 1) float32 tile mask block in VMEM
+    mask_ref,  # (TPP, TPX, 1) float32 tile mask block in VMEM
     # outputs
-    rgb_ref,  # (1, TPX, 3) f32
-    ed_ref,  # (1, TPX, 1) f32
-    einv_ref,  # (1, TPX, 1) f32
+    rgb_ref,  # (TPP, TPX, 3) f32
+    ed_ref,  # (TPP, TPX, 1) f32
+    einv_ref,  # (TPP, TPX, 1) f32
     m_ref,  # (1, L_al) f32 in HBM
     apix_ref,  # (1, L_al) i32 in HBM
     # scratch
     buf_ref,  # (16, Rs) f32
     m_scratch,  # (1, Rs) f32
     apix_scratch,  # (1, Rs) i32
-    t_ref,  # (TPX, 1) f32 running transmittance
-    done_ref,  # (TPX, 1) f32 (0/1) early-stop flag
+    t_ref,  # (TPX, Rs) f32 running transmittance (lane-replicated)
+    done_ref,  # (TPX, Rs) f32 (0/1) early-stop flag (lane-replicated)
     cr_ref,  # (TPX, 1) f32 colour accumulators
     cg_ref,
     cb_ref,
@@ -139,173 +190,166 @@ def _blend_kernel(
     width_pad: int,
     rs: int,
     max_steps: int,
+    tpp: int,
 ):
-    t = pl.program_id(0)
-    start = starts_ref[t]
-    count = counts_ref[t]
     width = dims_ref[0]
     height = dims_ref[1]
     num_tiles = dims_ref[2]
     bg = dims_ref[3].astype(jnp.float32)
 
-    ty = t // grid_w
-    tx = t % grid_w
+    # Grid programs cost ~25-40 us of fixed overhead each (block DMAs,
+    # setup); processing `tpp` tiles per program amortises it.
+    prog = pl.program_id(0)
 
-    # Pixel geometry: sublane s <-> (py = s // 16, px = s % 16).  Grids are
-    # generated full-size from iota (Mosaic has no lane broadcast).
-    sub = jax.lax.broadcasted_iota(jnp.int32, (TPX, 1), 0)
-    sub_full = jax.lax.broadcasted_iota(jnp.int32, (TPX, rs), 0)
-    gx = tx * 16 + sub % 16
-    gy = ty * 16 + sub // 16
-    pxf = (tx * 16 + sub_full % 16).astype(jnp.float32)  # (TPX, rs)
-    pyf = (ty * 16 + sub_full // 16).astype(jnp.float32)
+    def tile_body(k, _carry):
+        t = prog * tpp + k
+        start = starts_ref[t]
+        count = counts_ref[t]
+        ty = t // grid_w
+        tx = t % grid_w
 
-    valid_px = (
-        (gx < width)
-        & (gy < height)
-        & (t < num_tiles)
-        & (mask_ref[0] > 0.5)
-    )  # (TPX, 1)
+        # Pixel geometry: sublane s <-> (py = s // 16, px = s % 16).  Grids are
+        # generated full-size from iota (Mosaic has no lane broadcast).
+        sub = jax.lax.broadcasted_iota(jnp.int32, (TPX, 1), 0)
+        sub_full = jax.lax.broadcasted_iota(jnp.int32, (TPX, rs), 0)
+        gx = tx * 16 + sub % 16
+        gy = ty * 16 + sub // 16
+        pxf = (tx * 16 + sub_full % 16).astype(jnp.float32)  # (TPX, rs)
+        pyf = (ty * 16 + sub_full // 16).astype(jnp.float32)
 
-    # Static safety clamp: a corrupted count can never wedge the device in
-    # an unbounded loop (max_steps = run_cap // rs, known at trace time).
-    n_chunks = jnp.clip(
-        jnp.where(count > 0, pl.cdiv(count, rs), 0), 0, max_steps
-    )
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, rs), 1)
+        valid_px = (
+            (gx < width)
+            & (gy < height)
+            & (t < num_tiles)
+            & (mask_ref[k] > 0.5)
+        )  # (TPX, 1)
 
-    # Per-pixel running state lives in (TPX, 1) VMEM scratch refs so the
-    # while loop carries only the chunk index — 2D vector loop carries hit
-    # Mosaic layout-unification limits at the scf.yield.
-    t_ref[:] = jnp.ones((TPX, 1), jnp.float32)
-    done_ref[:] = 1.0 - valid_px.astype(jnp.float32)
-    cr_ref[:] = jnp.zeros((TPX, 1), jnp.float32)
-    cg_ref[:] = jnp.zeros((TPX, 1), jnp.float32)
-    cb_ref[:] = jnp.zeros((TPX, 1), jnp.float32)
-    eda_ref[:] = jnp.zeros((TPX, 1), jnp.float32)
-    einva_ref[:] = jnp.zeros((TPX, 1), jnp.float32)
-
-    def cond(r):
-        return (r < n_chunks) & (jnp.min(done_ref[:]) < 0.5)
-
-    def body(r):
-        T = t_ref[:]  # (TPX, 1)
-        done = done_ref[:] > 0.5
-        off = pl.multiple_of(start + r * rs, rs)  # aligned-run guarantee
-        copy = pltpu.make_async_copy(
-            pair_tab_ref.at[:, pl.ds(off, rs)], buf_ref, in_sem
+        # Static safety clamp: a corrupted count can never wedge the device in
+        # an unbounded loop (max_steps = run_cap // rs, known at trace time).
+        n_chunks = jnp.clip(
+            jnp.where(count > 0, pl.cdiv(count, rs), 0), 0, max_steps
         )
-        copy.start()
-        copy.wait()
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, rs), 1)
 
-        xy_x = buf_ref[0:1, :]  # (1, Rs)
-        xy_y = buf_ref[1:2, :]
-        ca = buf_ref[2:3, :]
-        cb = buf_ref[3:4, :]
-        cc = buf_ref[4:5, :]
-        opa = buf_ref[5:6, :]
-        col_r = buf_ref[6:7, :]
-        col_g = buf_ref[7:8, :]
-        col_b = buf_ref[8:9, :]
-        dep = buf_ref[9:10, :]
+        # Per-pixel running state lives in (TPX, 1) VMEM scratch refs so the
+        # while loop carries only the chunk index — 2D vector loop carries hit
+        # Mosaic layout-unification limits at the scf.yield.
+        t_ref[:] = jnp.ones((TPX, rs), jnp.float32)
+        # one lane broadcast per TILE (never per chunk): replicate the
+        # per-pixel validity across lanes for the running done flag
+        done_ref[:] = 1.0 - _bcast_lanes(valid_px.astype(jnp.float32), rs)
+        cr_ref[:] = jnp.zeros((TPX, 1), jnp.float32)
+        cg_ref[:] = jnp.zeros((TPX, 1), jnp.float32)
+        cb_ref[:] = jnp.zeros((TPX, 1), jnp.float32)
+        eda_ref[:] = jnp.zeros((TPX, 1), jnp.float32)
+        einva_ref[:] = jnp.zeros((TPX, 1), jnp.float32)
 
-        dx = pxf - xy_x  # (TPX, Rs)
-        dy = pyf - xy_y
-        power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
-        alpha = jnp.minimum(ALPHA_MAX, opa * jnp.exp(power))
+        def cond(r):
+            # scalar-only condition: a VMEM-read early-exit check here is
+            # costly per iteration; done pixels are masked in-body instead
+            return r < n_chunks
 
-        done_full = _bcast_lanes(done.astype(jnp.float32), rs) > 0.5
-        in_run = (r * rs + lane) < count  # (1, Rs)
-        ok = (power <= 0.0) & (alpha >= ALPHA_MIN) & in_run & ~done_full
-        a0 = jnp.where(ok, alpha, 0.0)
+        def body(r):
+            T = t_ref[:]  # (TPX, Rs), lane-replicated
+            done_full = done_ref[:] > 0.5
+            off = pl.multiple_of(start + r * rs, rs)  # aligned-run guarantee
+            copy = pltpu.make_async_copy(
+                pair_tab_ref.at[:, pl.ds(off, rs)], buf_ref, in_sem
+            )
+            copy.start()
+            copy.wait()
 
-        _, cp_excl = _cum_excl_lane(1.0 - a0, jnp.float32(1.0), jax.lax.mul, rs)
-        t_before = _bcast_lanes(T, rs) * cp_excl  # (TPX, Rs)
+            xy_x = buf_ref[0:1, :]  # (1, Rs)
+            xy_y = buf_ref[1:2, :]
+            ca = buf_ref[2:3, :]
+            cb = buf_ref[3:4, :]
+            cc = buf_ref[4:5, :]
+            opa = buf_ref[5:6, :]
+            col_r = buf_ref[6:7, :]
+            col_g = buf_ref[7:8, :]
+            col_b = buf_ref[8:9, :]
+            dep = buf_ref[9:10, :]
 
-        trigger = ok & (t_before * (1.0 - alpha) < T_EPS)
-        seen_inc, _ = _cum_excl_lane(
-            trigger.astype(jnp.float32), jnp.float32(0.0), jax.lax.max, rs
-        )
-        allowed = seen_inc < 0.5
-        a_used = jnp.where(allowed, a0, 0.0)
-        w = a_used * t_before  # (TPX, Rs)
+            dx = pxf - xy_x  # (TPX, Rs)
+            dy = pyf - xy_y
+            power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+            alpha = jnp.minimum(ALPHA_MAX, opa * jnp.exp(power))
 
-        cr_ref[:] = cr_ref[:] + jnp.sum(w * col_r, axis=1, keepdims=True)
-        cg_ref[:] = cg_ref[:] + jnp.sum(w * col_g, axis=1, keepdims=True)
-        cb_ref[:] = cb_ref[:] + jnp.sum(w * col_b, axis=1, keepdims=True)
-        eda_ref[:] = eda_ref[:] + jnp.sum(w * dep, axis=1, keepdims=True)
-        safe_dep = jnp.where(jnp.abs(dep) < 1e-12, 1e-12, dep)
-        einva_ref[:] = einva_ref[:] + jnp.sum(w / safe_dep, axis=1, keepdims=True)
-        # Lane reduce_prod is unsupported in Mosaic; take the full product
-        # as the last column of an inclusive product scan (exact in f32,
-        # unlike exp-sum-log), extracted by rolling lane rs-1 to lane 0.
-        cp_used, _ = _cum_excl_lane(
-            1.0 - a_used, jnp.float32(1.0), jax.lax.mul, rs
-        )
-        t_ref[:] = T * pltpu.roll(cp_used, 1, axis=1)[:, 0:1]
-        done_ref[:] = jnp.maximum(
-            done_ref[:],
-            jnp.max(trigger.astype(jnp.float32), axis=1, keepdims=True),
-        )
+            in_run = (r * rs + lane) < count  # (1, Rs)
+            ok = (power <= 0.0) & (alpha >= ALPHA_MIN) & in_run & ~done_full
+            a0 = jnp.where(ok, alpha, 0.0)
 
-        # Per-pair max contribution + first-argmax pixel (sublane reductions).
-        m = jnp.max(w, axis=0, keepdims=True)  # (1, Rs)
-        cand = jnp.where((w >= m) & (m > 0.0), sub_full, jnp.int32(2**20))
-        s_best = jnp.min(cand, axis=0, keepdims=True)  # (1, Rs)
-        s_best = jnp.where(m > 0.0, s_best, 0)
-        apix = (ty * 16 + s_best // 16) * width_pad + tx * 16 + s_best % 16
-        m_scratch[:] = m
-        apix_scratch[:] = apix
-        mc = pltpu.make_async_copy(
-            m_scratch, m_ref.at[:, pl.ds(off, rs)], out_sem
-        )
-        mc.start()
-        mc.wait()
-        ac = pltpu.make_async_copy(
-            apix_scratch, apix_ref.at[:, pl.ds(off, rs)], out_sem
-        )
-        ac.start()
-        ac.wait()
+            _, cp_excl = _cum_excl_lane(1.0 - a0, jnp.float32(1.0), jax.lax.mul, rs)
+            t_before = T * cp_excl  # (TPX, Rs); T is lane-replicated
 
-        return r + 1
+            trigger = ok & (t_before * (1.0 - alpha) < T_EPS)
+            seen_inc, _ = _cum_excl_lane(
+                trigger.astype(jnp.float32), jnp.float32(0.0), jax.lax.max, rs
+            )
+            allowed = seen_inc < 0.5
+            a_used = jnp.where(allowed, a0, 0.0)
+            w = a_used * t_before  # (TPX, Rs)
 
-    r = jax.lax.while_loop(cond, body, jnp.int32(0))
+            cr_ref[:] = cr_ref[:] + jnp.sum(w * col_r, axis=1, keepdims=True)
+            cg_ref[:] = cg_ref[:] + jnp.sum(w * col_g, axis=1, keepdims=True)
+            cb_ref[:] = cb_ref[:] + jnp.sum(w * col_b, axis=1, keepdims=True)
+            eda_ref[:] = eda_ref[:] + jnp.sum(w * dep, axis=1, keepdims=True)
+            safe_dep = jnp.where(jnp.abs(dep) < 1e-12, 1e-12, dep)
+            einva_ref[:] = einva_ref[:] + jnp.sum(w / safe_dep, axis=1, keepdims=True)
+            # Total chunk product replicated to every lane without any
+            # broadcast: forward-inclusive x suffix-exclusive product scans
+            # (prod_all[j] = prod(x[:j+1]) * prod(x[j+1:]) for every j).
+            cp_used_inc, _ = _cum_excl_lane(
+                1.0 - a_used, jnp.float32(1.0), jax.lax.mul, rs
+            )
+            _, sp_used_exc = _cum_excl_lane_rev(
+                1.0 - a_used, jnp.float32(1.0), jax.lax.mul, rs
+            )
+            t_ref[:] = T * (cp_used_inc * sp_used_exc)
+            # any(trigger) replicated the same way with max scans.
+            trg = trigger.astype(jnp.float32)
+            trg_inc, _ = _cum_excl_lane(trg, jnp.float32(0.0), jax.lax.max, rs)
+            _, trg_sexc = _cum_excl_lane_rev(trg, jnp.float32(0.0), jax.lax.max, rs)
+            done_ref[:] = jnp.maximum(done_ref[:], jnp.maximum(trg_inc, trg_sexc))
 
-    # Chunks skipped by the early exit still need their pair slots zeroed
-    # (their Gaussians are occluded: contribution 0), matching the XLA path.
-    def zero_cond(r):
-        return r < n_chunks
+            # Per-pair max contribution + first-argmax pixel (sublane reductions).
+            m = jnp.max(w, axis=0, keepdims=True)  # (1, Rs)
+            cand = jnp.where((w >= m) & (m > 0.0), sub_full, jnp.int32(2**20))
+            s_best = jnp.min(cand, axis=0, keepdims=True)  # (1, Rs)
+            s_best = jnp.where(m > 0.0, s_best, 0)
+            apix = (ty * 16 + s_best // 16) * width_pad + tx * 16 + s_best % 16
+            m_scratch[:] = m
+            apix_scratch[:] = apix
+            mc = pltpu.make_async_copy(
+                m_scratch, m_ref.at[:, pl.ds(off, rs)], out_sem
+            )
+            mc.start()
+            mc.wait()
+            ac = pltpu.make_async_copy(
+                apix_scratch, apix_ref.at[:, pl.ds(off, rs)], out_sem
+            )
+            ac.start()
+            ac.wait()
 
-    def zero_body(r):
-        off = pl.multiple_of(start + r * rs, rs)
-        m_scratch[:] = jnp.zeros((1, rs), jnp.float32)
-        apix_scratch[:] = jnp.zeros((1, rs), jnp.int32)
-        mc = pltpu.make_async_copy(
-            m_scratch, m_ref.at[:, pl.ds(off, rs)], out_sem
-        )
-        mc.start()
-        mc.wait()
-        ac = pltpu.make_async_copy(
-            apix_scratch, apix_ref.at[:, pl.ds(off, rs)], out_sem
-        )
-        ac.start()
-        ac.wait()
-        return r + 1
+            return r + 1
 
-    jax.lax.while_loop(zero_cond, zero_body, r)
+        jax.lax.while_loop(cond, body, jnp.int32(0))
 
-    T = t_ref[:]
-    rgb = jnp.concatenate(
-        [
-            jnp.where(valid_px, cr_ref[:] + T * bg, 0.0),
-            jnp.where(valid_px, cg_ref[:] + T * bg, 0.0),
-            jnp.where(valid_px, cb_ref[:] + T * bg, 0.0),
-        ],
-        axis=1,
-    )  # (TPX, 3)
-    rgb_ref[0] = rgb
-    ed_ref[0] = jnp.where(valid_px, eda_ref[:], 0.0)
-    einv_ref[0] = jnp.where(valid_px, einva_ref[:], 0.0)
+        T = jnp.min(t_ref[:], axis=1, keepdims=True)  # lanes identical
+        rgb = jnp.concatenate(
+            [
+                jnp.where(valid_px, cr_ref[:] + T * bg, 0.0),
+                jnp.where(valid_px, cg_ref[:] + T * bg, 0.0),
+                jnp.where(valid_px, cb_ref[:] + T * bg, 0.0),
+            ],
+            axis=1,
+        )  # (TPX, 3)
+        rgb_ref[k] = rgb
+        ed_ref[k] = jnp.where(valid_px, eda_ref[:], 0.0)
+        einv_ref[k] = jnp.where(valid_px, einva_ref[:], 0.0)
+        return 0
+
+    jax.lax.fori_loop(0, tpp, tile_body, 0)
 
 
 def pallas_blend(
@@ -332,6 +376,12 @@ def pallas_blend(
         raise ValueError(
             f"pallas blend needs run_chunk to be a multiple of 128, got {rs}"
         )
+    # Largest tiles-per-program <= 32 that divides the padded tile count.
+    tpp = 1
+    for cand in range(min(32, NTP), 0, -1):
+        if NTP % cand == 0:
+            tpp = cand
+            break
 
     dims = jnp.stack(
         [
@@ -344,20 +394,20 @@ def pallas_blend(
 
     kernel = functools.partial(
         _blend_kernel, grid_w=grid_w, width_pad=width_pad, rs=rs,
-        max_steps=max(-(-run_cap_hint // rs), 1),
+        max_steps=max(-(-run_cap_hint // rs), 1), tpp=tpp,
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(NTP,),
+        grid=(NTP // tpp,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),  # pair_tab stays in HBM
-            pl.BlockSpec((1, TPX, 1), lambda t, *_: (t, 0, 0)),  # mask tile
+            pl.BlockSpec((tpp, TPX, 1), lambda p, *_: (p, 0, 0)),  # masks
         ],
         out_specs=[
-            pl.BlockSpec((1, TPX, 3), lambda t, *_: (t, 0, 0)),
-            pl.BlockSpec((1, TPX, 1), lambda t, *_: (t, 0, 0)),
-            pl.BlockSpec((1, TPX, 1), lambda t, *_: (t, 0, 0)),
+            pl.BlockSpec((tpp, TPX, 3), lambda p, *_: (p, 0, 0)),
+            pl.BlockSpec((tpp, TPX, 1), lambda p, *_: (p, 0, 0)),
+            pl.BlockSpec((tpp, TPX, 1), lambda p, *_: (p, 0, 0)),
             pl.BlockSpec(memory_space=pltpu.HBM),  # m (pair-aligned, HBM)
             pl.BlockSpec(memory_space=pltpu.HBM),  # apix
         ],
@@ -365,8 +415,8 @@ def pallas_blend(
             pltpu.VMEM((TABLE_LANES, rs), jnp.float32),
             pltpu.VMEM((1, rs), jnp.float32),
             pltpu.VMEM((1, rs), jnp.int32),
-            pltpu.VMEM((TPX, 1), jnp.float32),  # T
-            pltpu.VMEM((TPX, 1), jnp.float32),  # done
+            pltpu.VMEM((TPX, rs), jnp.float32),  # T (lane-replicated)
+            pltpu.VMEM((TPX, rs), jnp.float32),  # done (lane-replicated)
             pltpu.VMEM((TPX, 1), jnp.float32),  # cr
             pltpu.VMEM((TPX, 1), jnp.float32),  # cg
             pltpu.VMEM((TPX, 1), jnp.float32),  # cb

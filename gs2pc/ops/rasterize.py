@@ -480,14 +480,42 @@ def _finish_pallas(
     ed = _untile(tiles_ed, cfg)
     einv = _untile(tiles_einv, cfg)
 
-    # Per-Gaussian reductions; sentinel gid == P collects alignment padding.
-    contrib_ext = jax.ops.segment_max(m_al, pairs.gid, num_segments=P + 1)
-    contrib = jnp.maximum(contrib_ext[:P], 0.0)
+    # Per-Gaussian reductions over dynamic PREFIX WINDOWS [0, pairs.total)
+    # (occupied aligned slots are contiguous; sentinel gid == P dumps).
+    L_al = pairs.gid.shape[0]
+    W_POST = min(1 << 20, L_al)
+    n_win_cap = -(-L_al // W_POST)
 
-    hit = (m_al > 0.0) & (m_al == contrib_ext[pairs.gid])
-    pix_cand = jnp.where(hit, apix_al, -1)
-    best_pix = jax.ops.segment_max(pix_cand, pairs.gid, num_segments=P + 1)[:P]
-    best_pix = jnp.maximum(best_pix, -1)
+    def win_cond(state):
+        w = state[0]
+        return (w * W_POST < pairs.total) & (w < n_win_cap)
+
+    def gmax_window(state):
+        w, gmax = state
+        off = w * W_POST
+        m_w = jax.lax.dynamic_slice_in_dim(m_al, off, W_POST)
+        gid_w = jax.lax.dynamic_slice_in_dim(pairs.gid, off, W_POST)
+        return w + 1, gmax.at[gid_w].max(m_w)
+
+    _, gmax = jax.lax.while_loop(
+        win_cond, gmax_window, (jnp.int32(0), jnp.zeros(P + 1, jnp.float32))
+    )
+    contrib = jnp.maximum(gmax[:P], 0.0)
+    contrib_ext = jnp.concatenate([contrib, jnp.zeros(1, jnp.float32)])
+
+    def pix_window(state):
+        w, best = state
+        off = w * W_POST
+        m_w = jax.lax.dynamic_slice_in_dim(m_al, off, W_POST)
+        gid_w = jax.lax.dynamic_slice_in_dim(pairs.gid, off, W_POST)
+        apix_w = jax.lax.dynamic_slice_in_dim(apix_al, off, W_POST)
+        hit = (m_w > 0.0) & (m_w >= contrib_ext[gid_w])
+        return w + 1, best.at[gid_w].max(jnp.where(hit, apix_w, -1))
+
+    _, best_ext = jax.lax.while_loop(
+        win_cond, pix_window, (jnp.int32(0), jnp.full(P + 1, -1, jnp.int32))
+    )
+    best_pix = best_ext[:P]
     img_flat = image.reshape(-1, 3)
     best_colour = jnp.where(
         (best_pix >= 0)[:, None], img_flat[jnp.maximum(best_pix, 0)], 0.0
@@ -563,5 +591,25 @@ def _surface_pass_aligned(pairs, tiles_ed, camera, cfg: TileConfig, mask_tiles, 
         return sd_buf, None
 
     sd_buf, _ = jax.lax.scan(batch, sd_buf0, jnp.arange(NB, dtype=jnp.int32))
-    surf = jax.ops.segment_min(sd_buf[:L_al], pairs.gid, num_segments=P + 1)[:P]
+
+    # Windowed prefix segment-min (same trick as the XLA post pass).
+    W_POST = min(1 << 20, L_al)
+    n_win_cap = -(-L_al // W_POST)
+
+    def win_cond(state):
+        w = state[0]
+        return (w * W_POST < pairs.total) & (w < n_win_cap)
+
+    def win_body(state):
+        w, smin = state
+        off = w * W_POST
+        sd_w = jax.lax.dynamic_slice_in_dim(sd_buf, off, W_POST)
+        gid_w = jax.lax.dynamic_slice_in_dim(pairs.gid, off, W_POST)
+        return w + 1, smin.at[gid_w].min(sd_w)
+
+    _, smin = jax.lax.while_loop(
+        win_cond, win_body,
+        (jnp.int32(0), jnp.full(P + 1, FLOAT_MAX, jnp.float32)),
+    )
+    surf = smin[:P]
     return jnp.where(jnp.isinf(surf), FLOAT_MAX, surf)
