@@ -263,3 +263,44 @@ class TestTileVsDenseParity:
         out = f(*arrays)
         assert out.image.shape == (hp, wp, 3)
         assert out.contrib.shape == (64,)
+
+
+class TestAntialiasing:
+    def test_opacity_rescale(self):
+        """antialiasing=True rescales opacity by sqrt(det ratio)
+        (forward.cu:217-225); small splats lose opacity, huge ones don't."""
+        cam, wp, hp = single_camera()
+        means = jnp.zeros((2, 3))
+        covf = jnp.stack([jnp.eye(3) * 0.001, jnp.eye(3) * 0.3])
+        prep_aa = preprocess(
+            means, covf, jnp.ones(2) * 0.8, jnp.ones(2, bool),
+            cam.viewmatrix, cam.projmatrix, cam.tanfovx, cam.tanfovy,
+            cam.focal_x, cam.focal_y, cam.width, cam.height,
+            antialiasing=True,
+        )
+        prep_no = preprocess(
+            means, covf, jnp.ones(2) * 0.8, jnp.ones(2, bool),
+            cam.viewmatrix, cam.projmatrix, cam.tanfovx, cam.tanfovy,
+            cam.focal_x, cam.focal_y, cam.width, cam.height,
+            antialiasing=False,
+        )
+        aa = np.asarray(prep_aa.opacity)
+        no = np.asarray(prep_no.opacity)
+        assert aa[0] < no[0] * 0.9  # tiny splat: strong attenuation
+        assert aa[1] > no[1] * 0.95  # big splat: nearly unchanged
+        assert (aa <= no + 1e-6).all()
+
+
+class TestTinyScene:
+    def test_three_gaussian_render(self):
+        cam, wp, hp = single_camera()
+        means = jnp.array([[0.0, 0, 0], [0.3, 0, 0], [-0.3, 0, 0]])
+        covf = jnp.tile(jnp.eye(3)[None] * 0.05, (3, 1, 1))
+        cols = jnp.eye(3)
+        cfg = TileConfig(width_pad=wp, height_pad=hp, slots=16,
+                         run_cap=128, run_chunk=64, tile_batch=16)
+        out = render_tile_camera(
+            means, covf, jnp.ones(3) * 0.9, cols, jnp.ones(3, bool), cam, cfg
+        )
+        assert float(out.contrib.min()) > 0.3
+        assert np.asarray(out.image).max() <= 1.0 + 1e-5
