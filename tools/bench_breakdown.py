@@ -1,0 +1,95 @@
+"""Per-phase timing breakdown of the conversion pipeline on the default
+backend (TPU under the driver).  Diagnostics companion to bench.py.
+
+    python tools/bench_breakdown.py [--gaussians 1000000] [--points 5000000]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+import bench
+from gs2pc.ops import rasterize
+from gs2pc.ops.blend import FLOAT_MAX
+from gs2pc.ops.projection import preprocess
+from gs2pc.ops.rasterize import TileConfig
+from gs2pc.ops.sampler import distribute_points, sample_points
+from gs2pc.parallel.sweep import render_sweep
+
+
+def timed(fn, *args, reps=2):
+    out = fn(*args)
+    jax.tree.map(lambda x: x.block_until_ready(), out)
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        jax.tree.map(lambda x: x.block_until_ready(), out)
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--gaussians", type=int, default=1_000_000)
+    ap.add_argument("--points", type=int, default=5_000_000)
+    ap.add_argument("--cams", type=int, default=2)
+    ap.add_argument("--width", type=int, default=1280)
+    ap.add_argument("--height", type=int, default=720)
+    args = ap.parse_args()
+
+    scene = bench.make_scene(args.gaussians).calculate_normals()
+    cameras, wp, hp = bench.make_cameras(args.cams, args.width, args.height)
+    cam = cameras.at(0)
+    cfg = TileConfig(width_pad=wp, height_pad=hp, slots=16,
+                     run_cap=4096, run_chunk=128, tile_batch=128)
+    arrays = (
+        scene.xyz, scene.covariance_factors(), scene.opacities,
+        scene.colours, jnp.ones(scene.num_gaussians, bool),
+    )
+
+    @jax.jit
+    def binning(means, covf, op, col, alive):
+        prep = preprocess(
+            means, covf, op, alive, cam.viewmatrix, cam.projmatrix,
+            cam.tanfovx, cam.tanfovy, cam.focal_x, cam.focal_y,
+            cam.width, cam.height,
+        )
+        order = jnp.argsort(jnp.where(prep.valid, prep.depth, FLOAT_MAX))
+        keys, pair_g = rasterize._build_pairs(prep, order, cfg)
+        tids = jnp.arange(cfg.num_tiles_pad, dtype=jnp.int32)
+        starts = jnp.searchsorted(keys, tids)
+        return starts.sum() + pair_g[0]
+
+    t_bin = timed(binning, *arrays)
+    print(f"preprocess+depth-sort+pair-sort+ranges: {t_bin*1000:8.1f} ms/cam")
+
+    for surf in (False, True):
+        sweep = jax.jit(
+            lambda a, c, s=surf: render_sweep(a, c, cfg, calc_surface_distance=s)
+        )
+        t = timed(sweep, arrays, cameras) / args.cams
+        print(f"full sweep (surface={surf!s:5}):          {t*1000:8.1f} ms/cam")
+
+    n_cap = args.points + args.points // 20
+    contrib = jnp.abs(jax.random.normal(jax.random.PRNGKey(1), (args.gaussians,)))
+
+    @jax.jit
+    def sampling(key, c):
+        sizes = scene.magnitudes(contributions=c)
+        ppg = distribute_points(sizes, args.points)
+        out = sample_points(key, scene, ppg, n_cap=n_cap, num_attempts=5)
+        return out.points, out.valid
+
+    t_s = timed(sampling, jax.random.PRNGKey(0), contrib)
+    print(f"point sampling ({args.points} pts):     {t_s*1000:8.1f} ms")
+
+
+if __name__ == "__main__":
+    main()
