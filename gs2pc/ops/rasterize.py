@@ -372,6 +372,7 @@ def render_tile_camera(
     if calc_surface_distance:
         ed_tiles = tiles_ed.reshape(NTP, tpx)
         sd_buf0 = jnp.full(L + 1, FLOAT_MAX, jnp.float32)
+        depth_tbl = table[:, 9]  # 1-col gathers are far cheaper than rows
 
         def surf_batch(sd_buf, b):
             tids = jax.lax.dynamic_slice_in_dim(tid_by_load, b * TB, TB)
@@ -390,7 +391,7 @@ def render_tile_camera(
             def body(state):
                 r, sd_buf = state
                 pg, idx, in_run = gather_run(start, count, r)
-                dep = table[pg][..., 9]
+                dep = depth_tbl[pg]
                 dist = jnp.abs(dep[:, None, :] - ed_b[:, :, None])
                 ok = valid_px[:, :, None] & in_run[:, None, :]
                 dist = jnp.where(ok, dist, FLOAT_MAX)
