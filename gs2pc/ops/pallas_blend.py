@@ -4,7 +4,8 @@ This is the hand-optimised replacement for the XLA blend loop in
 gs2pc.ops.rasterize (itself the TPU redesign of renderCUDA,
 forward.cu:303-497).  Mapping:
 
-  * one grid program per 16x16 pixel tile (CUDA: one thread block);
+  * one grid program per batch of 16x16 pixel tiles (CUDA: one thread
+    block per tile);
   * the tile's depth-sorted pair run is CONTIGUOUS in HBM (pairs are
     pre-gathered into an Rs-aligned (16, L_al) layout), so each chunk is
     a single async DMA instead of CUDA's shared-memory batch fetch;
@@ -16,6 +17,23 @@ forward.cu:303-497).  Mapping:
     replacement for the CUDA CAS-loop float atomics;
   * per-tile trip count is dynamic (while_loop) with the same
     all-pixels-done early exit as the CUDA kernel.
+
+v2 design (hardware-measured v1 overheads each get a targeted fix):
+
+  * ALL chunk-loop state is full-width (TPX, Rs): v1's (TPX, 1) colour/
+    depth accumulators forced lane-width-1 vector ops (each padded to a
+    full vreg) and lane reductions in every chunk.  v2 accumulates
+    w-weighted colour full-width and lane-reduces ONCE per tile.
+  * the early-stop bookkeeping (trigger/seen/done scans — 5 of the 7
+    Hillis-Steele scans) runs only in chunks that actually contain a
+    trigger, behind a scalar `lax.cond`; a pixel triggers at most once
+    per tile, so the fast path (2 scans) dominates.
+  * input chunk DMAs are double-buffered (start r+1, wait r, compute r);
+    per-pair outputs are packed into ONE (2, Rs) f32 slab (m + bitcast
+    apix) with deferred, double-buffered output DMAs.
+  * per-tile early exit when every pixel is done (CUDA's block-level
+    early-out).  The pair-output HBM buffer is zero-initialised via
+    input_output_aliasing so skipped chunks read as zero contribution.
 
 Alpha semantics are identical to gs2pc.ops.blend (0.99 clamp, 1/255
 cutoff, T<1e-4 early stop skipping the triggering Gaussian).
@@ -33,12 +51,20 @@ from jax.experimental.pallas import tpu as pltpu
 
 from gs2pc.ops.blend import ALPHA_MAX, ALPHA_MIN, T_EPS
 
-TABLE_LANES = 16  # packed row: xy(2) conic(3) opacity(1) rgb(3) depth(1) pad(6)
+TABLE_LANES = 16  # row: xy(2) conic(3) opacity(1) rgb(3) depth(1) gid(1) pad(5)
+GID_LANE = 10  # original Gaussian id as an exact f32 value (P < 2**24)
 TPX = 256  # pixels per 16x16 tile
 
 
 class AlignedPairs(NamedTuple):
-    """Tile runs padded to run_chunk multiples; contiguous per tile."""
+    """Tile runs padded to run_chunk multiples; contiguous per tile.
+
+    The aligned layout is REQUIRED by the kernel: Mosaic only allows HBM
+    DMA slices whose lane offset is a multiple of the (8, 128) tiling, so
+    every tile's run must start on a run_chunk boundary.  It is built
+    scatter-free: each aligned slot GATHERS its source pair through a
+    chunk -> tile map (the 16M-element scatter of the first design cost
+    ~570 ms/cam at 1M Gaussians / 720p; this gather build is ~10x less)."""
 
     pair_tab: jnp.ndarray  # (16, L_al) f32 packed per-pair rows, transposed
     gid: jnp.ndarray  # (L_al,) int32 original Gaussian id (P = sentinel)
@@ -62,54 +88,73 @@ def build_aligned_pairs(
     L = keys.shape[0]
     P = table.shape[0]
     NTP = num_tiles_pad
+    rs = run_chunk
 
     tids = jnp.arange(NTP, dtype=jnp.int32)
     starts = jnp.searchsorted(keys, tids, side="left").astype(jnp.int32)
     ends = jnp.searchsorted(keys, tids, side="right").astype(jnp.int32)
     counts = jnp.minimum(ends - starts, run_cap)
 
-    aligned = -(-counts // run_chunk) * run_chunk
+    aligned = -(-counts // rs) * rs
     astarts = jnp.concatenate(
         [jnp.zeros(1, jnp.int32), jnp.cumsum(aligned)[:-1].astype(jnp.int32)]
     )
     aligned_total = jnp.sum(aligned).astype(jnp.int32)
-    L_al = L + NTP * run_chunk  # static capacity (alignment adds < Rs/tile)
-    W = min(_WINDOW, L_al)
+    L_al = -(-(L + NTP * rs) // rs) * rs  # capacity (alignment adds < Rs/tile)
+    W = min(_WINDOW, L_al)  # _WINDOW and L_al are both rs-multiples
     L_al = -(-L_al // W) * W  # window-aligned capacity
 
-    tile_of_pair = jnp.minimum(keys, NTP - 1)
-    rank = jnp.arange(L, dtype=jnp.int32) - starts[tile_of_pair]
-    valid = (keys < NTP) & (rank < counts[tile_of_pair])
-    dest = jnp.where(valid, astarts[tile_of_pair] + rank, L_al)
+    # Chunk -> tile map (tiny: one entry per rs-wide chunk).  Aligned runs
+    # are rs-multiples, so the owning tile is constant within a chunk —
+    # ALL per-slot metadata is computed at chunk granularity and broadcast
+    # over the rs lanes (per-element 1D gathers cost ~15 ms per million
+    # slots on TPU; per-chunk they are 128x cheaper).
+    chunk_base = astarts // rs  # (NTP,) first chunk id of each tile
+    n_chunks_cap = L_al // rs
+    chunk_ids = jnp.arange(n_chunks_cap, dtype=jnp.int32)
+    tile_of_chunk = (
+        jnp.searchsorted(chunk_base, chunk_ids, side="right").astype(jnp.int32) - 1
+    )
 
-    idx_al = jnp.full(L_al + 1, P, jnp.int32).at[dest].set(pair_g)[:L_al]
+    # Sentinel row: zeros except the gid lane, which must decode to P.
+    sentinel = jnp.zeros((1, TABLE_LANES), table.dtype)
+    sentinel = sentinel.at[0, GID_LANE].set(jnp.float32(P))
+    table_ext = jnp.concatenate([table, sentinel])
+    pair_g_pad = jnp.concatenate([pair_g, jnp.full(rs, P, jnp.int32)])
 
-    table_ext = jnp.concatenate([table, jnp.zeros((1, TABLE_LANES), table.dtype)])
-    order_ext = jnp.concatenate([order.astype(jnp.int32), jnp.full(1, P, jnp.int32)])
-
-    # Build the per-pair table over dynamic PREFIX WINDOWS: occupied slots
-    # are a contiguous prefix [0, aligned_total), so the expensive row
-    # gather touches only real pairs instead of the static capacity.
+    # Fill the aligned table over dynamic PREFIX WINDOWS: occupied slots are
+    # a contiguous prefix [0, aligned_total); slot j of tile t maps to the
+    # sorted pair starts[t] + rank.  Within a chunk the source pairs are
+    # CONSECUTIVE, so pair_g is fetched with rs-wide slice gathers.
     n_win_cap = L_al // W
+    CW = W // rs  # chunks per window
     tabT0 = jnp.zeros((TABLE_LANES, L_al), table.dtype)
-    gid0 = jnp.full(L_al, P, jnp.int32)
+    lane = jnp.arange(rs, dtype=jnp.int32)
 
     def win_cond(state):
         w = state[0]
         return (w * W < aligned_total) & (w < n_win_cap)
 
     def win_body(state):
-        w, tabT, gid = state
-        off = w * W
-        idx_w = jax.lax.dynamic_slice_in_dim(idx_al, off, W)
-        rows = table_ext[idx_w]  # (W, 16) gather — real pairs only
-        tabT = jax.lax.dynamic_update_slice(tabT, rows.T, (0, off))
-        gid = jax.lax.dynamic_update_slice(gid, order_ext[idx_w], (off,))
-        return w + 1, tabT, gid
+        w, tabT = state
+        c0 = w * CW
+        ch = c0 + jnp.arange(CW, dtype=jnp.int32)
+        tile_c = tile_of_chunk[ch]  # (CW,) small gathers only
+        base_c = ch * rs - astarts[tile_c]  # rank of the chunk's first slot
+        count_c = counts[tile_c]
+        src0 = jnp.clip(starts[tile_c] + base_c, 0, L)  # run start per chunk
+        runs = jax.vmap(
+            lambda s: jax.lax.dynamic_slice(pair_g_pad, (s,), (rs,))
+        )(src0)  # (CW, rs) — slice gather, one index per chunk
+        valid = (base_c[:, None] + lane[None, :]) < count_c[:, None]
+        idx_w = jnp.where(valid, runs, P).reshape(W)
+        rows = table_ext[idx_w]  # (W, 16) row gather — real pairs only
+        tabT = jax.lax.dynamic_update_slice(tabT, rows.T, (0, w * W))
+        return w + 1, tabT
 
-    _, pair_tab, gid = jax.lax.while_loop(
-        win_cond, win_body, (jnp.int32(0), tabT0, gid0)
-    )
+    _, pair_tab = jax.lax.while_loop(win_cond, win_body, (jnp.int32(0), tabT0))
+
+    gid = pair_tab[GID_LANE].astype(jnp.int32)
 
     return AlignedPairs(
         pair_tab=pair_tab,
@@ -118,15 +163,6 @@ def build_aligned_pairs(
         counts=counts,
         total=aligned_total,
     )
-
-
-def _bcast_lanes(x, rs):
-    """(N, 1) -> (N, rs); Mosaic lacks implicit lane broadcast.
-
-    Costly (~13 us per call on v5e) — used at most once per TILE, never
-    in the chunk loop (see the replicated-lane state design below).
-    """
-    return pltpu.repeat(x, repeats=rs, axis=1)
 
 
 def _cum_excl_lane_rev(x, identity, op, rs):
@@ -160,31 +196,30 @@ def _cum_excl_lane(x, identity, op, rs):
 
 def _blend_kernel(
     # scalar prefetch
-    starts_ref,  # (NTP,) int32 aligned starts
+    starts_ref,  # (NTP,) int32 run starts (sorted-pair order)
     counts_ref,  # (NTP,) int32 true counts
     dims_ref,  # (4,) int32: width, height, num_tiles, bg_is_white
     # inputs
     pair_tab_ref,  # (16, L_al) f32 in HBM
     mask_ref,  # (TPP, TPX, 1) float32 tile mask block in VMEM
+    ma_in_ref,  # (2, L_al) f32 in HBM — zero-init, ALIASED to ma_ref
     # outputs
     rgb_ref,  # (TPP, TPX, 3) f32
     ed_ref,  # (TPP, TPX, 1) f32
     einv_ref,  # (TPP, TPX, 1) f32
-    m_ref,  # (1, L_al) f32 in HBM
-    apix_ref,  # (1, L_al) i32 in HBM
+    ma_ref,  # (2, L_al) f32 in HBM: row 0 = max contribution, row 1 = bitcast argmax pixel
     # scratch
-    buf_ref,  # (16, Rs) f32
-    m_scratch,  # (1, Rs) f32
-    apix_scratch,  # (1, Rs) i32
+    buf_ref,  # (2, 16, Rs) f32 — double-buffered input chunk slabs
+    ma_scratch,  # (2, 2, Rs) f32 — double-buffered packed pair outputs
     t_ref,  # (TPX, Rs) f32 running transmittance (lane-replicated)
     done_ref,  # (TPX, Rs) f32 (0/1) early-stop flag (lane-replicated)
-    cr_ref,  # (TPX, 1) f32 colour accumulators
-    cg_ref,
-    cb_ref,
-    eda_ref,  # (TPX, 1) f32 expected depth
-    einva_ref,  # (TPX, 1) f32 expected inverse depth
-    in_sem,
-    out_sem,
+    accr_ref,  # (TPX, Rs) f32 full-width colour accumulators
+    accg_ref,
+    accb_ref,
+    accd_ref,  # (TPX, Rs) f32 expected depth
+    acci_ref,  # (TPX, Rs) f32 expected inverse depth
+    in_sems,  # DMA semaphores (2,)
+    out_sems,  # DMA semaphores (2,)
     *,
     grid_w: int,
     width_pad: int,
@@ -208,21 +243,26 @@ def _blend_kernel(
         ty = t // grid_w
         tx = t % grid_w
 
-        # Pixel geometry: sublane s <-> (py = s // 16, px = s % 16).  Grids are
-        # generated full-size from iota (Mosaic has no lane broadcast).
+        # Pixel geometry: sublane s <-> (py = s // 16, px = s % 16).
         sub = jax.lax.broadcasted_iota(jnp.int32, (TPX, 1), 0)
         sub_full = jax.lax.broadcasted_iota(jnp.int32, (TPX, rs), 0)
-        gx = tx * 16 + sub % 16
+        gx = tx * 16 + sub % 16  # (TPX, 1)
         gy = ty * 16 + sub // 16
-        pxf = (tx * 16 + sub_full % 16).astype(jnp.float32)  # (TPX, rs)
-        pyf = (ty * 16 + sub_full // 16).astype(jnp.float32)
+        gx_full = tx * 16 + sub_full % 16  # (TPX, rs)
+        gy_full = ty * 16 + sub_full // 16
+        pxf = gx_full.astype(jnp.float32)
+        pyf = gy_full.astype(jnp.float32)
 
+        mask_col = mask_ref[k] > 0.5  # (TPX, 1)
         valid_px = (
-            (gx < width)
-            & (gy < height)
-            & (t < num_tiles)
-            & (mask_ref[k] > 0.5)
-        )  # (TPX, 1)
+            (gx < width) & (gy < height) & (t < num_tiles) & mask_col
+        )  # (TPX, 1) — final writeback mask
+        # Full-width validity: geometric part comes straight from iota;
+        # the mask column lane-broadcasts (one elementwise op per tile).
+        valid_full = (
+            (gx_full < width) & (gy_full < height) & (t < num_tiles) & mask_col
+        )  # (TPX, rs)
+        done0 = jnp.where(valid_full, 0.0, 1.0)
 
         # Static safety clamp: a corrupted count can never wedge the device in
         # an unbounded loop (max_steps = run_cap // rs, known at trace time).
@@ -231,44 +271,64 @@ def _blend_kernel(
         )
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, rs), 1)
 
-        # Per-pixel running state lives in (TPX, 1) VMEM scratch refs so the
-        # while loop carries only the chunk index — 2D vector loop carries hit
-        # Mosaic layout-unification limits at the scf.yield.
         t_ref[:] = jnp.ones((TPX, rs), jnp.float32)
-        # one lane broadcast per TILE (never per chunk): replicate the
-        # per-pixel validity across lanes for the running done flag
-        done_ref[:] = 1.0 - _bcast_lanes(valid_px.astype(jnp.float32), rs)
-        cr_ref[:] = jnp.zeros((TPX, 1), jnp.float32)
-        cg_ref[:] = jnp.zeros((TPX, 1), jnp.float32)
-        cb_ref[:] = jnp.zeros((TPX, 1), jnp.float32)
-        eda_ref[:] = jnp.zeros((TPX, 1), jnp.float32)
-        einva_ref[:] = jnp.zeros((TPX, 1), jnp.float32)
+        done_ref[:] = done0
+        zeros_full = jnp.zeros((TPX, rs), jnp.float32)
+        accr_ref[:] = zeros_full
+        accg_ref[:] = zeros_full
+        accb_ref[:] = zeros_full
+        accd_ref[:] = zeros_full
+        acci_ref[:] = zeros_full
 
-        def cond(r):
-            # scalar-only condition: a VMEM-read early-exit check here is
-            # costly per iteration; done pixels are masked in-body instead
-            return r < n_chunks
+        alldone0 = jnp.min(done0) > 0.5
 
-        def body(r):
+        def in_dma(slot, r):
+            off = pl.multiple_of(start + r * rs, rs)  # aligned-run guarantee
+            return pltpu.make_async_copy(
+                pair_tab_ref.at[:, pl.ds(off, rs)],
+                buf_ref.at[slot],
+                in_sems.at[slot],
+            )
+
+        def out_dma(slot, r):
+            off = pl.multiple_of(start + r * rs, rs)
+            return pltpu.make_async_copy(
+                ma_scratch.at[slot],
+                ma_ref.at[:, pl.ds(off, rs)],
+                out_sems.at[slot],
+            )
+
+        @pl.when((n_chunks > 0) & jnp.logical_not(alldone0))
+        def _():
+            in_dma(0, 0).start()
+
+        def cond(state):
+            r, alldone = state
+            return (r < n_chunks) & jnp.logical_not(alldone)
+
+        def body(state):
+            r, _ = state
+            slot = jax.lax.rem(r, 2)
+
+            @pl.when(r + 1 < n_chunks)
+            def _():
+                in_dma(1 - slot, r + 1).start()
+
+            in_dma(slot, r).wait()
+
+            xy_x = buf_ref[slot, 0:1, :]  # (1, Rs)
+            xy_y = buf_ref[slot, 1:2, :]
+            ca = buf_ref[slot, 2:3, :]
+            cb = buf_ref[slot, 3:4, :]
+            cc = buf_ref[slot, 4:5, :]
+            opa = buf_ref[slot, 5:6, :]
+            col_r = buf_ref[slot, 6:7, :]
+            col_g = buf_ref[slot, 7:8, :]
+            col_b = buf_ref[slot, 8:9, :]
+            dep = buf_ref[slot, 9:10, :]
+
             T = t_ref[:]  # (TPX, Rs), lane-replicated
             done_full = done_ref[:] > 0.5
-            off = pl.multiple_of(start + r * rs, rs)  # aligned-run guarantee
-            copy = pltpu.make_async_copy(
-                pair_tab_ref.at[:, pl.ds(off, rs)], buf_ref, in_sem
-            )
-            copy.start()
-            copy.wait()
-
-            xy_x = buf_ref[0:1, :]  # (1, Rs)
-            xy_y = buf_ref[1:2, :]
-            ca = buf_ref[2:3, :]
-            cb = buf_ref[3:4, :]
-            cc = buf_ref[4:5, :]
-            opa = buf_ref[5:6, :]
-            col_r = buf_ref[6:7, :]
-            col_g = buf_ref[7:8, :]
-            col_b = buf_ref[8:9, :]
-            dep = buf_ref[9:10, :]
 
             dx = pxf - xy_x  # (TPX, Rs)
             dy = pyf - xy_y
@@ -279,74 +339,117 @@ def _blend_kernel(
             ok = (power <= 0.0) & (alpha >= ALPHA_MIN) & in_run & ~done_full
             a0 = jnp.where(ok, alpha, 0.0)
 
-            _, cp_excl = _cum_excl_lane(1.0 - a0, jnp.float32(1.0), jax.lax.mul, rs)
-            t_before = T * cp_excl  # (TPX, Rs); T is lane-replicated
-
+            cp_inc, cp_excl = _cum_excl_lane(
+                1.0 - a0, jnp.float32(1.0), jax.lax.mul, rs
+            )
+            t_before = T * cp_excl  # (TPX, Rs)
             trigger = ok & (t_before * (1.0 - alpha) < T_EPS)
-            seen_inc, _ = _cum_excl_lane(
-                trigger.astype(jnp.float32), jnp.float32(0.0), jax.lax.max, rs
-            )
-            allowed = seen_inc < 0.5
-            a_used = jnp.where(allowed, a0, 0.0)
-            w = a_used * t_before  # (TPX, Rs)
+            anytrig = jnp.max(jnp.where(trigger, 1.0, 0.0))
 
-            cr_ref[:] = cr_ref[:] + jnp.sum(w * col_r, axis=1, keepdims=True)
-            cg_ref[:] = cg_ref[:] + jnp.sum(w * col_g, axis=1, keepdims=True)
-            cb_ref[:] = cb_ref[:] + jnp.sum(w * col_b, axis=1, keepdims=True)
-            eda_ref[:] = eda_ref[:] + jnp.sum(w * dep, axis=1, keepdims=True)
-            safe_dep = jnp.where(jnp.abs(dep) < 1e-12, 1e-12, dep)
-            einva_ref[:] = einva_ref[:] + jnp.sum(w / safe_dep, axis=1, keepdims=True)
-            # Total chunk product replicated to every lane without any
-            # broadcast: forward-inclusive x suffix-exclusive product scans
-            # (prod_all[j] = prod(x[:j+1]) * prod(x[j+1:]) for every j).
-            cp_used_inc, _ = _cum_excl_lane(
-                1.0 - a_used, jnp.float32(1.0), jax.lax.mul, rs
-            )
-            _, sp_used_exc = _cum_excl_lane_rev(
-                1.0 - a_used, jnp.float32(1.0), jax.lax.mul, rs
-            )
-            t_ref[:] = T * (cp_used_inc * sp_used_exc)
-            # any(trigger) replicated the same way with max scans.
-            trg = trigger.astype(jnp.float32)
-            trg_inc, _ = _cum_excl_lane(trg, jnp.float32(0.0), jax.lax.max, rs)
-            _, trg_sexc = _cum_excl_lane_rev(trg, jnp.float32(0.0), jax.lax.max, rs)
-            done_ref[:] = jnp.maximum(done_ref[:], jnp.maximum(trg_inc, trg_sexc))
+            def fast(_):
+                # No trigger in this chunk: every ok pair contributes and
+                # the done flags are unchanged.  Total chunk product is
+                # replicated to every lane without any broadcast via
+                # forward-inclusive x suffix-exclusive product scans.
+                _, sp_excl = _cum_excl_lane_rev(
+                    1.0 - a0, jnp.float32(1.0), jax.lax.mul, rs
+                )
+                w = a0 * t_before
+                t_new = T * (cp_inc * sp_excl)
+                return w, t_new, done_ref[:]
 
-            # Per-pair max contribution + first-argmax pixel (sublane reductions).
+            def slow(_):
+                # Exact CUDA early-stop semantics: everything at or after
+                # the first trigger per pixel is masked out.
+                seen_inc, _ = _cum_excl_lane(
+                    trigger.astype(jnp.float32), jnp.float32(0.0), jax.lax.max, rs
+                )
+                allowed = seen_inc < 0.5
+                a_used = jnp.where(allowed, a0, 0.0)
+                w = a_used * t_before
+                cpu_inc, _ = _cum_excl_lane(
+                    1.0 - a_used, jnp.float32(1.0), jax.lax.mul, rs
+                )
+                _, spu_exc = _cum_excl_lane_rev(
+                    1.0 - a_used, jnp.float32(1.0), jax.lax.mul, rs
+                )
+                t_new = T * (cpu_inc * spu_exc)
+                trg = trigger.astype(jnp.float32)
+                trg_inc, _ = _cum_excl_lane(trg, jnp.float32(0.0), jax.lax.max, rs)
+                _, trg_sexc = _cum_excl_lane_rev(
+                    trg, jnp.float32(0.0), jax.lax.max, rs
+                )
+                done_new = jnp.maximum(
+                    done_ref[:], jnp.maximum(trg_inc, trg_sexc)
+                )
+                return w, t_new, done_new
+
+            w, t_new, done_new = jax.lax.cond(anytrig > 0.0, slow, fast, 0)
+            t_ref[:] = t_new
+            done_ref[:] = done_new
+
+            # Full-width accumulation (lane-reduced once per tile, after the
+            # loop) — no width-1 vector ops inside the chunk loop.
+            inv_dep = 1.0 / jnp.where(jnp.abs(dep) < 1e-12, 1e-12, dep)
+            accr_ref[:] = accr_ref[:] + w * col_r
+            accg_ref[:] = accg_ref[:] + w * col_g
+            accb_ref[:] = accb_ref[:] + w * col_b
+            accd_ref[:] = accd_ref[:] + w * dep
+            acci_ref[:] = acci_ref[:] + w * inv_dep
+
+            # Per-pair max contribution + first-argmax pixel (sublane
+            # reductions), packed into one slab: row 0 = m, row 1 = pixel id
+            # bitcast to f32 so a single DMA carries both.
             m = jnp.max(w, axis=0, keepdims=True)  # (1, Rs)
             cand = jnp.where((w >= m) & (m > 0.0), sub_full, jnp.int32(2**20))
             s_best = jnp.min(cand, axis=0, keepdims=True)  # (1, Rs)
             s_best = jnp.where(m > 0.0, s_best, 0)
             apix = (ty * 16 + s_best // 16) * width_pad + tx * 16 + s_best % 16
-            m_scratch[:] = m
-            apix_scratch[:] = apix
-            mc = pltpu.make_async_copy(
-                m_scratch, m_ref.at[:, pl.ds(off, rs)], out_sem
-            )
-            mc.start()
-            mc.wait()
-            ac = pltpu.make_async_copy(
-                apix_scratch, apix_ref.at[:, pl.ds(off, rs)], out_sem
-            )
-            ac.start()
-            ac.wait()
 
-            return r + 1
+            @pl.when(r >= 2)
+            def _():
+                out_dma(slot, r - 2).wait()
 
-        jax.lax.while_loop(cond, body, jnp.int32(0))
+            ma_scratch[slot, 0:1, :] = m
+            ma_scratch[slot, 1:2, :] = pltpu.bitcast(apix, jnp.float32)
+            out_dma(slot, r).start()
+
+            alldone = jnp.min(done_new) > 0.5
+            return r + 1, alldone
+
+        r_fin, _ = jax.lax.while_loop(cond, body, (jnp.int32(0), alldone0))
+
+        # Drain in-flight DMAs before the next tile reuses the slots.
+        @pl.when(r_fin >= 2)
+        def _():
+            out_dma(jax.lax.rem(r_fin, 2), r_fin - 2).wait()
+
+        @pl.when(r_fin >= 1)
+        def _():
+            out_dma(jax.lax.rem(r_fin - 1, 2), r_fin - 1).wait()
+
+        @pl.when((r_fin >= 1) & (r_fin < n_chunks))
+        def _():
+            # Early exit left the prefetched input chunk in flight.
+            in_dma(jax.lax.rem(r_fin, 2), r_fin).wait()
 
         T = jnp.min(t_ref[:], axis=1, keepdims=True)  # lanes identical
+        cr = jnp.sum(accr_ref[:], axis=1, keepdims=True)  # (TPX, 1)
+        cg = jnp.sum(accg_ref[:], axis=1, keepdims=True)
+        cb_ = jnp.sum(accb_ref[:], axis=1, keepdims=True)
+        ed = jnp.sum(accd_ref[:], axis=1, keepdims=True)
+        einv = jnp.sum(acci_ref[:], axis=1, keepdims=True)
         rgb = jnp.concatenate(
             [
-                jnp.where(valid_px, cr_ref[:] + T * bg, 0.0),
-                jnp.where(valid_px, cg_ref[:] + T * bg, 0.0),
-                jnp.where(valid_px, cb_ref[:] + T * bg, 0.0),
+                jnp.where(valid_px, cr + T * bg, 0.0),
+                jnp.where(valid_px, cg + T * bg, 0.0),
+                jnp.where(valid_px, cb_ + T * bg, 0.0),
             ],
             axis=1,
         )  # (TPX, 3)
         rgb_ref[k] = rgb
-        ed_ref[k] = jnp.where(valid_px, eda_ref[:], 0.0)
-        einv_ref[k] = jnp.where(valid_px, einva_ref[:], 0.0)
+        ed_ref[k] = jnp.where(valid_px, ed, 0.0)
+        einv_ref[k] = jnp.where(valid_px, einv, 0.0)
         return 0
 
     jax.lax.fori_loop(0, tpp, tile_body, 0)
@@ -403,27 +506,26 @@ def pallas_blend(
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),  # pair_tab stays in HBM
             pl.BlockSpec((tpp, TPX, 1), lambda p, *_: (p, 0, 0)),  # masks
+            pl.BlockSpec(memory_space=pltpu.HBM),  # ma zero-init (aliased)
         ],
         out_specs=[
             pl.BlockSpec((tpp, TPX, 3), lambda p, *_: (p, 0, 0)),
             pl.BlockSpec((tpp, TPX, 1), lambda p, *_: (p, 0, 0)),
             pl.BlockSpec((tpp, TPX, 1), lambda p, *_: (p, 0, 0)),
-            pl.BlockSpec(memory_space=pltpu.HBM),  # m (pair-aligned, HBM)
-            pl.BlockSpec(memory_space=pltpu.HBM),  # apix
+            pl.BlockSpec(memory_space=pltpu.HBM),  # packed m/apix (HBM)
         ],
         scratch_shapes=[
-            pltpu.VMEM((TABLE_LANES, rs), jnp.float32),
-            pltpu.VMEM((1, rs), jnp.float32),
-            pltpu.VMEM((1, rs), jnp.int32),
+            pltpu.VMEM((2, TABLE_LANES, rs), jnp.float32),  # input slabs
+            pltpu.VMEM((2, 2, rs), jnp.float32),  # packed pair outputs
             pltpu.VMEM((TPX, rs), jnp.float32),  # T (lane-replicated)
             pltpu.VMEM((TPX, rs), jnp.float32),  # done (lane-replicated)
-            pltpu.VMEM((TPX, 1), jnp.float32),  # cr
-            pltpu.VMEM((TPX, 1), jnp.float32),  # cg
-            pltpu.VMEM((TPX, 1), jnp.float32),  # cb
-            pltpu.VMEM((TPX, 1), jnp.float32),  # ed
-            pltpu.VMEM((TPX, 1), jnp.float32),  # einv
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((TPX, rs), jnp.float32),  # acc r
+            pltpu.VMEM((TPX, rs), jnp.float32),  # acc g
+            pltpu.VMEM((TPX, rs), jnp.float32),  # acc b
+            pltpu.VMEM((TPX, rs), jnp.float32),  # acc depth
+            pltpu.VMEM((TPX, rs), jnp.float32),  # acc invdepth
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
 
@@ -431,15 +533,19 @@ def pallas_blend(
         jax.ShapeDtypeStruct((NTP, TPX, 3), jnp.float32),
         jax.ShapeDtypeStruct((NTP, TPX, 1), jnp.float32),
         jax.ShapeDtypeStruct((NTP, TPX, 1), jnp.float32),
-        jax.ShapeDtypeStruct((1, L_al), jnp.float32),
-        jax.ShapeDtypeStruct((1, L_al), jnp.int32),
+        jax.ShapeDtypeStruct((2, L_al), jnp.float32),
     ]
 
-    rgb, ed, einv, m, apix = pl.pallas_call(
+    ma_init = jnp.zeros((2, L_al), jnp.float32)
+
+    rgb, ed, einv, ma = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,
+        # Inputs are [starts, counts, dims, pair_tab, mask, ma_init];
+        # aliasing ma_init -> ma zero-fills slots the early exit skips.
+        input_output_aliases={5: 3},
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True,
             vmem_limit_bytes=64 * 1024 * 1024,
@@ -450,5 +556,8 @@ def pallas_blend(
         dims,
         pairs.pair_tab,
         mask_tiles[:, :, None].astype(jnp.float32),
+        ma_init,
     )
-    return rgb, ed[:, :, 0], einv[:, :, 0], m[0], apix[0]
+    m = ma[0]
+    apix = jax.lax.bitcast_convert_type(ma[1], jnp.int32)
+    return rgb, ed[:, :, 0], einv[:, :, 0], m, apix

@@ -179,8 +179,10 @@ def render_tile_camera(
     order = jnp.argsort(sort_key)
 
     # Depth-ordered per-Gaussian table, PACKED into one row per Gaussian so
-    # each run chunk costs a single row gather instead of five:
-    # lanes [xy0, xy1, conic0, conic1, conic2, opacity, r, g, b, depth] + pad.
+    # each run chunk costs a single row gather instead of five: lanes
+    # [xy0, xy1, conic0..2, opacity, r, g, b, depth, gid-as-f32] + pad.
+    # gid is stored as a plain f32 VALUE (exact for P < 2**24): a bitcast
+    # int would be a denormal, and TPU data paths flush denormals to zero.
     table = jnp.concatenate(
         [
             prep.xy[order],
@@ -188,7 +190,8 @@ def render_tile_camera(
             prep.opacity[order][:, None],
             colours[order],
             prep.depth[order][:, None],
-            jnp.zeros((P, 6), jnp.float32),
+            order.astype(jnp.float32)[:, None],
+            jnp.zeros((P, 5), jnp.float32),
         ],
         axis=1,
     )
