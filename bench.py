@@ -79,7 +79,12 @@ def main():
     n_cams = int(os.environ.get("GS2PC_BENCH_CAMERAS", 6))
     width = int(os.environ.get("GS2PC_BENCH_WIDTH", 1280))
     height = int(os.environ.get("GS2PC_BENCH_HEIGHT", 720))
-    use_pallas = os.environ.get("GS2PC_BENCH_PALLAS", "0") == "1"
+    # Default mirrors the pipeline's "auto": Pallas blend on TPU backends.
+    pallas_env = os.environ.get("GS2PC_BENCH_PALLAS", "auto")
+    if pallas_env == "auto":
+        use_pallas = jax.default_backend() == "tpu"
+    else:
+        use_pallas = pallas_env == "1"
 
     scene = make_scene(n_gauss).calculate_normals()
     cameras, wp, hp = make_cameras(n_cams, width, height)

@@ -26,6 +26,8 @@ from typing import Optional, Tuple
 import numpy as np
 
 # Cube corner ids: bit 0 = +x, bit 1 = +y, bit 2 = +z.
+_ACTIVE_CUBE_BUDGET = 1_500_000  # ~100 us + ~1 KB per cube in the numpy MT pass
+
 _CORNER_OFFSETS = np.array(
     [
         [0, 0, 0],
@@ -326,10 +328,44 @@ def generate_mesh_native(
     points = np.asarray(points, np.float32)
     resolution = int(min(2**depth, 384))
     grid, origin, voxel = density_grid(points, resolution=resolution)
-    nz = grid[grid > 1e-6]
-    if nz.size == 0:
+    # Iso level anchored to the density AT the points: the surface should
+    # pass just outside the samples, so take the iso_quantile-th quantile
+    # of per-point densities.  (A quantile over all "nonzero" voxels is
+    # pathological at high resolutions — the Gaussian filter smears tiny
+    # tails across tens of millions of voxels, the quantile lands near
+    # zero, and marching tetrahedra then walks a near-full grid: 40+ min
+    # and ~10 GB at resolution 384 for a 40k-point cloud.)
+    pidx = np.clip(
+        np.floor((points - origin[None, :]) / voxel).astype(np.int64),
+        0,
+        resolution - 1,
+    )
+    d_pts = grid[pidx[:, 0], pidx[:, 1], pidx[:, 2]]
+    if d_pts.size == 0 or float(d_pts.max()) <= 0:
         raise ValueError("Point cloud produced an empty density field")
-    iso = float(np.quantile(nz, iso_quantile))
+    iso = float(np.quantile(d_pts, iso_quantile))
+
+    # Work budget: the numpy marching-tetrahedra pass costs ~100 us and
+    # ~1 KB per active cube; back the iso off toward the density peak until
+    # the active set is tractable rather than letting a diffuse cloud
+    # explode into minutes of meshing.
+    res1 = resolution - 1
+    for _ in range(8):
+        inside = grid > iso
+        occ = inside[:res1, :res1, :res1]
+        active = np.zeros_like(occ)
+        for off in _CORNER_OFFSETS[1:]:
+            active |= (
+                inside[
+                    off[0]: res1 + off[0],
+                    off[1]: res1 + off[1],
+                    off[2]: res1 + off[2],
+                ]
+                != occ
+            )
+        if int(active.sum()) <= _ACTIVE_CUBE_BUDGET:
+            break
+        iso *= 1.5
     verts, faces = marching_tetrahedra(grid, iso, origin, voxel)
     verts = laplacian_smooth(verts, faces, iterations=laplacian_iters)
     vcols, vnorms = mesh_vertex_attributes(

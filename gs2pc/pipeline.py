@@ -59,11 +59,16 @@ def _scene_render_arrays(gaussians: Gaussians):
 def _resolve_pallas(mode: str) -> bool:
     if mode == "on":
         return True
-    # "auto" currently resolves to the XLA blend path: the Pallas kernel is
-    # numerically validated on hardware (see tools/compare_pallas.py) but
-    # intermittently leaves this image's remote TPU session wedged at
-    # process teardown; it stays opt-in (--pallas on) until that is fixed.
-    return False
+    if mode == "off":
+        return False
+    # "auto": the Pallas v2 blend is byte-identical to the XLA path through
+    # the CLI and ~1.45x faster per camera on a v5e (see
+    # tools/compare_pallas.py and DESIGN.md §7), so it is the default on TPU
+    # backends.  Non-TPU backends keep the portable XLA blend.
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
 
 
 def run_render_sweep(
