@@ -17,6 +17,7 @@ _LIB: Optional[ctypes.CDLL] = None
 _TRIED = False
 
 _SRC = os.path.join(os.path.dirname(__file__), "plyio.cpp")
+_SRC_MESH = os.path.join(os.path.dirname(__file__), "mesher.cpp")
 _SO = os.path.join(os.path.dirname(__file__), "_gs2pc_native.so")
 
 
@@ -25,7 +26,7 @@ def _build() -> bool:
         subprocess.run(
             [
                 "g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
-                _SRC, "-o", _SO,
+                _SRC, _SRC_MESH, "-o", _SO,
             ],
             check=True,
             capture_output=True,
@@ -43,7 +44,8 @@ def load() -> Optional[ctypes.CDLL]:
         if _LIB is not None or _TRIED:
             return _LIB
         _TRIED = True
-        if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+        newest_src = max(os.path.getmtime(_SRC), os.path.getmtime(_SRC_MESH))
+        if not os.path.exists(_SO) or os.path.getmtime(_SO) < newest_src:
             if not _build():
                 return None
         try:
@@ -65,6 +67,21 @@ def load() -> Optional[ctypes.CDLL]:
             ctypes.c_int64,
             ctypes.c_int32,
             ctypes.c_void_p,
+        ]
+        lib.gs2pc_marching_tet.restype = ctypes.c_int
+        lib.gs2pc_marching_tet.argtypes = [
+            ctypes.c_void_p,  # grid f32
+            ctypes.c_int64,  # res
+            ctypes.c_float,  # iso
+            ctypes.POINTER(ctypes.c_void_p),  # ctx out
+            ctypes.POINTER(ctypes.c_int64),  # nverts
+            ctypes.POINTER(ctypes.c_int64),  # nfaces
+        ]
+        lib.gs2pc_marching_tet_fetch.restype = ctypes.c_int
+        lib.gs2pc_marching_tet_fetch.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_void_p,  # verts f32 out
+            ctypes.c_void_p,  # faces i32 out
         ]
         _LIB = lib
         return _LIB

@@ -113,3 +113,44 @@ class TestGenerateMeshNative:
         generate_mesh(pts, cols, None, path, depth=6, laplacian_iters=2)
         elements = read_ply(path)
         assert elements["vertex"].count > 100
+
+
+class TestNativeMarchingTet:
+    def test_native_matches_numpy(self):
+        """C++ MT pass (gs2pc/native/mesher.cpp) is geometrically identical
+        to the numpy fallback: same counts, same vertex positions (as sets),
+        both watertight."""
+        from gs2pc import native as gsnative
+        from gs2pc.meshing_native import (
+            _marching_tetrahedra_native,
+            _marching_tetrahedra_numpy,
+        )
+
+        lib = gsnative.load()
+        if lib is None or not hasattr(lib, "gs2pc_marching_tet"):
+            import pytest
+
+            pytest.skip("native toolchain unavailable")
+
+        n = 48
+        ax = np.linspace(-1.4, 1.4, n)
+        X, Y, Z = np.meshgrid(ax, ax, ax, indexing="ij")
+        field = (1.0 - np.sqrt(X**2 + Y**2 + Z**2)).astype(np.float32)
+        origin = np.array([-1.4, -1.4, -1.4])
+        voxel = float(ax[1] - ax[0])
+        v1, f1 = _marching_tetrahedra_numpy(field, 0.0, origin, voxel)
+        v2, f2 = _marching_tetrahedra_native(field, 0.0, origin, voxel)
+        assert v1.shape == v2.shape
+        assert f1.shape == f2.shape
+        from scipy.spatial import cKDTree
+
+        d, _ = cKDTree(v2).query(v1, k=1)
+        assert d.max() < 1e-5
+
+        def edge_counts(f):
+            e = np.concatenate([f[:, [0, 1]], f[:, [1, 2]], f[:, [2, 0]]])
+            e = np.sort(e, axis=1)
+            _, c = np.unique(e, axis=0, return_counts=True)
+            return c
+
+        assert np.all(edge_counts(f2) == 2)
