@@ -208,9 +208,11 @@ def _blend_kernel(
     ed_ref,  # (TPP, TPX, 1) f32
     einv_ref,  # (TPP, TPX, 1) f32
     ma_ref,  # (2, L_al) f32 in HBM: row 0 = max contribution, row 1 = bitcast argmax pixel
+    sd_ref,  # (1, L_al) f32 in HBM: per-pair min surface distance (if with_surface)
     # scratch
     buf_ref,  # (2, 16, Rs) f32 — double-buffered input chunk slabs
     ma_scratch,  # (2, 2, Rs) f32 — double-buffered packed pair outputs
+    sd_scratch,  # (2, 1, Rs) f32 — double-buffered surface-distance outputs
     t_ref,  # (TPX, Rs) f32 running transmittance (lane-replicated)
     done_ref,  # (TPX, Rs) f32 (0/1) early-stop flag (lane-replicated)
     accr_ref,  # (TPX, Rs) f32 full-width colour accumulators
@@ -226,6 +228,7 @@ def _blend_kernel(
     rs: int,
     max_steps: int,
     tpp: int,
+    with_surface: bool,
 ):
     width = dims_ref[0]
     height = dims_ref[1]
@@ -450,6 +453,65 @@ def _blend_kernel(
         rgb_ref[k] = rgb
         ed_ref[k] = jnp.where(valid_px, ed, 0.0)
         einv_ref[k] = jnp.where(valid_px, einv, 0.0)
+
+        if with_surface:
+            # Second cheap chunk loop: min over tile pixels of
+            # |pair depth - expected depth| (renderCUDA's optional surface
+            # pass, forward.cu:460-477) re-using the in-VMEM expected depth
+            # — a DMA-bound sweep, ~6 ops per (TPX, Rs) chunk.  Runs for
+            # every chunk regardless of the blend's early exit so every
+            # occupied aligned slot is written (the post pass reads the
+            # whole prefix).
+            big = jnp.float32(3.4028235e38)
+
+            def sd_dma(slot, r):
+                off = pl.multiple_of(start + r * rs, rs)
+                return pltpu.make_async_copy(
+                    sd_scratch.at[slot],
+                    sd_ref.at[:, pl.ds(off, rs)],
+                    out_sems.at[slot],
+                )
+
+            @pl.when(n_chunks > 0)
+            def _():
+                in_dma(0, 0).start()
+
+            def s_cond(r):
+                return r < n_chunks
+
+            def s_body(r):
+                slot = jax.lax.rem(r, 2)
+
+                @pl.when(r + 1 < n_chunks)
+                def _():
+                    in_dma(1 - slot, r + 1).start()
+
+                in_dma(slot, r).wait()
+                dep = buf_ref[slot, 9:10, :]  # (1, Rs)
+                dist = jnp.abs(dep - ed)  # (TPX, Rs), two-way broadcast
+                dist = jnp.where(valid_full, dist, big)
+                s_in_run = (r * rs + lane) < count
+                sd = jnp.min(dist, axis=0, keepdims=True)  # (1, Rs)
+                sd = jnp.where(s_in_run, sd, big)
+
+                @pl.when(r >= 2)
+                def _():
+                    sd_dma(slot, r - 2).wait()
+
+                sd_scratch[slot] = sd
+                sd_dma(slot, r).start()
+                return r + 1
+
+            s_fin = jax.lax.while_loop(s_cond, s_body, jnp.int32(0))
+
+            @pl.when(s_fin >= 2)
+            def _():
+                sd_dma(jax.lax.rem(s_fin, 2), s_fin - 2).wait()
+
+            @pl.when(s_fin >= 1)
+            def _():
+                sd_dma(jax.lax.rem(s_fin - 1, 2), s_fin - 1).wait()
+
         return 0
 
     jax.lax.fori_loop(0, tpp, tile_body, 0)
@@ -468,10 +530,11 @@ def pallas_blend(
     run_chunk: int,
     white_bkgd: bool,
     run_cap_hint: int = 1 << 16,
+    with_surface: bool = False,
     interpret: bool = False,
 ):
     """Returns (tile_rgb (NTP,TPX,3), ed (NTP,TPX), einv (NTP,TPX),
-    m (L_al,), apix (L_al,))."""
+    m (L_al,), apix (L_al,), sd (L_al,) or None)."""
     L_al = pairs.pair_tab.shape[1]
     NTP = num_tiles_pad
     rs = run_chunk
@@ -498,6 +561,7 @@ def pallas_blend(
     kernel = functools.partial(
         _blend_kernel, grid_w=grid_w, width_pad=width_pad, rs=rs,
         max_steps=max(-(-run_cap_hint // rs), 1), tpp=tpp,
+        with_surface=with_surface,
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -513,10 +577,12 @@ def pallas_blend(
             pl.BlockSpec((tpp, TPX, 1), lambda p, *_: (p, 0, 0)),
             pl.BlockSpec((tpp, TPX, 1), lambda p, *_: (p, 0, 0)),
             pl.BlockSpec(memory_space=pltpu.HBM),  # packed m/apix (HBM)
+            pl.BlockSpec(memory_space=pltpu.HBM),  # sd (HBM; dummy if unused)
         ],
         scratch_shapes=[
             pltpu.VMEM((2, TABLE_LANES, rs), jnp.float32),  # input slabs
             pltpu.VMEM((2, 2, rs), jnp.float32),  # packed pair outputs
+            pltpu.VMEM((2, 1, rs), jnp.float32),  # surface-distance slabs
             pltpu.VMEM((TPX, rs), jnp.float32),  # T (lane-replicated)
             pltpu.VMEM((TPX, rs), jnp.float32),  # done (lane-replicated)
             pltpu.VMEM((TPX, rs), jnp.float32),  # acc r
@@ -534,11 +600,12 @@ def pallas_blend(
         jax.ShapeDtypeStruct((NTP, TPX, 1), jnp.float32),
         jax.ShapeDtypeStruct((NTP, TPX, 1), jnp.float32),
         jax.ShapeDtypeStruct((2, L_al), jnp.float32),
+        jax.ShapeDtypeStruct((1, L_al if with_surface else rs), jnp.float32),
     ]
 
     ma_init = jnp.zeros((2, L_al), jnp.float32)
 
-    rgb, ed, einv, ma = pl.pallas_call(
+    rgb, ed, einv, ma, sd = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=out_shape,
@@ -560,4 +627,5 @@ def pallas_blend(
     )
     m = ma[0]
     apix = jax.lax.bitcast_convert_type(ma[1], jnp.int32)
-    return rgb, ed[:, :, 0], einv[:, :, 0], m, apix
+    sd_out = sd[0] if with_surface else None
+    return rgb, ed[:, :, 0], einv[:, :, 0], m, apix, sd_out

@@ -51,10 +51,22 @@ class TileConfig(NamedTuple):
     width_pad: int
     height_pad: int
     tile: int = 16
-    slots: int = 16  # S: max tiles per Gaussian
+    slots: int = 16  # S: window size (candidate tiles per Gaussian)
+    slot_keep: int = 0  # K: kept pairs per Gaussian after the circle cull
     run_cap: int = 4096  # R_cap: max pairs blended per tile
     run_chunk: int = 128  # Rs: pairs per inner step
     tile_batch: int = 256  # TB: tiles per outer step
+
+    @property
+    def keep(self) -> int:
+        """Pairs per Gaussian entering the global tile sort.
+
+        The S-slot window is a CANDIDATE set; after the exact circle-tile
+        cull only ~3 pairs per Gaussian survive on average, so the global
+        sort can keep the K nearest surviving tiles per Gaussian (a tiny
+        per-Gaussian lane sort) instead of carrying S-wide sentinel slots
+        into the big sort.  0 = keep all S."""
+        return self.slots if self.slot_keep <= 0 else min(self.slot_keep, self.slots)
 
     @property
     def grid_w(self) -> int:
@@ -200,6 +212,9 @@ def render_tile_camera(
     L = keys.shape[0]
 
     if use_pallas:
+        # Mosaic only exists on TPU; anywhere else the kernel runs in
+        # interpret mode (slow, for tests / debugging).
+        pallas_interpret = pallas_interpret or jax.default_backend() != "tpu"
         return _finish_pallas(
             prep, order, table, keys, pair_g, camera, cfg, mask,
             white_bkgd, calc_surface_distance, pallas_interpret, P,
@@ -472,12 +487,13 @@ def _finish_pallas(
     else:
         mask_tiles = jnp.ones((NTP, tpx), jnp.uint8)
 
-    tiles_rgb, tiles_ed, tiles_einv, m_al, apix_al = pallas_blend(
+    tiles_rgb, tiles_ed, tiles_einv, m_al, apix_al, sd_al = pallas_blend(
         pairs, mask_tiles, camera.width, camera.height,
         num_tiles=cfg.num_tiles, num_tiles_pad=NTP,
         grid_w=cfg.grid_w, width_pad=cfg.width_pad,
         run_chunk=Rs, white_bkgd=white_bkgd,
-        run_cap_hint=cfg.run_cap, interpret=interpret,
+        run_cap_hint=cfg.run_cap, with_surface=calc_surface_distance,
+        interpret=interpret,
     )
 
     image = _untile(tiles_rgb, cfg)  # (Hp, Wp, 3)
@@ -526,9 +542,22 @@ def _finish_pallas(
     )
 
     if calc_surface_distance:
-        surf = _surface_pass_aligned(
-            pairs, tiles_ed, camera, cfg, mask_tiles, P
+        # Per-pair min distances come straight from the kernel's in-loop
+        # surface pass; reduce them per Gaussian over the same prefix
+        # windows.
+        def sd_window(state):
+            w, smin = state
+            off = w * W_POST
+            sd_w = jax.lax.dynamic_slice_in_dim(sd_al, off, W_POST)
+            gid_w = jax.lax.dynamic_slice_in_dim(pairs.gid, off, W_POST)
+            return w + 1, smin.at[gid_w].min(sd_w)
+
+        _, smin = jax.lax.while_loop(
+            win_cond, sd_window,
+            (jnp.int32(0), jnp.full(P + 1, FLOAT_MAX, jnp.float32)),
         )
+        surf = smin[:P]
+        surf = jnp.where(jnp.isinf(surf), FLOAT_MAX, surf)
     else:
         surf = jnp.full(P, FLOAT_MAX, jnp.float32)
 
@@ -541,79 +570,3 @@ def _finish_pallas(
         best_colour=best_colour,
         surf_dist=surf,
     )
-
-
-def _surface_pass_aligned(pairs, tiles_ed, camera, cfg: TileConfig, mask_tiles, P):
-    """Min |gauss depth - expected depth| over tile pixels, aligned layout."""
-    NTP = cfg.num_tiles_pad
-    Rs = cfg.run_chunk
-    TB = cfg.tile_batch_eff
-    NB = NTP // TB
-    tpx = cfg.tile * cfg.tile
-    L_al = pairs.pair_tab.shape[1]
-    max_steps = max(-(-cfg.run_cap // Rs), 1)
-
-    depth_col = pairs.pair_tab[9, :]
-    ly, lx = jnp.divmod(jnp.arange(tpx, dtype=jnp.int32), cfg.tile)
-    sd_buf0 = jnp.full(L_al + 1, FLOAT_MAX, jnp.float32)
-
-    def batch(sd_buf, b):
-        tids = b * TB + jnp.arange(TB, dtype=jnp.int32)
-        start = pairs.starts[tids]
-        count = pairs.counts[tids]
-        n_steps = jnp.minimum(-(-jnp.max(count) // Rs), max_steps).astype(jnp.int32)
-        ty, tx = jnp.divmod(tids, cfg.grid_w)
-        gx = tx[:, None] * cfg.tile + lx[None, :]
-        gy = ty[:, None] * cfg.tile + ly[None, :]
-        valid_px = (
-            (gx < camera.width)
-            & (gy < camera.height)
-            & (tids[:, None] < cfg.num_tiles)
-            & (mask_tiles[tids] != 0)
-        )
-        ed_b = tiles_ed[tids]
-
-        def cond(state):
-            r, _ = state
-            return r < n_steps
-
-        def body(state):
-            r, sd_buf = state
-            offs = r * Rs + jnp.arange(Rs, dtype=jnp.int32)
-            idx = start[:, None] + offs[None, :]
-            in_run = offs[None, :] < count[:, None]
-            safe = jnp.clip(idx, 0, L_al - 1)
-            dep = depth_col[safe]
-            dist = jnp.abs(dep[:, None, :] - ed_b[:, :, None])
-            ok = valid_px[:, :, None] & in_run[:, None, :]
-            dist = jnp.where(ok, dist, FLOAT_MAX)
-            sd = jnp.min(dist, axis=1)
-            slot = jnp.where(in_run, idx, L_al).reshape(-1)
-            return r + 1, sd_buf.at[slot].set(sd.reshape(-1))
-
-        _, sd_buf = jax.lax.while_loop(cond, body, (jnp.int32(0), sd_buf))
-        return sd_buf, None
-
-    sd_buf, _ = jax.lax.scan(batch, sd_buf0, jnp.arange(NB, dtype=jnp.int32))
-
-    # Windowed prefix segment-min (same trick as the XLA post pass).
-    W_POST = min(1 << 20, L_al)
-    n_win_cap = -(-L_al // W_POST)
-
-    def win_cond(state):
-        w = state[0]
-        return (w * W_POST < pairs.total) & (w < n_win_cap)
-
-    def win_body(state):
-        w, smin = state
-        off = w * W_POST
-        sd_w = jax.lax.dynamic_slice_in_dim(sd_buf, off, W_POST)
-        gid_w = jax.lax.dynamic_slice_in_dim(pairs.gid, off, W_POST)
-        return w + 1, smin.at[gid_w].min(sd_w)
-
-    _, smin = jax.lax.while_loop(
-        win_cond, win_body,
-        (jnp.int32(0), jnp.full(P + 1, FLOAT_MAX, jnp.float32)),
-    )
-    surf = smin[:P]
-    return jnp.where(jnp.isinf(surf), FLOAT_MAX, surf)

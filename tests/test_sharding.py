@@ -70,6 +70,26 @@ class TestShardedSweep:
             atol=1e-4,
         )
 
+    def test_pallas_sharded_matches_xla(self):
+        """shard_map over cameras composes with the Pallas blend kernel
+        (interpret mode on the CPU mesh) and matches the XLA path."""
+        arrays, cams, cfg = _setup()
+        acc_seq = jax.jit(lambda a, c: render_sweep(a, c, cfg))(arrays, cams)
+        mesh = make_mesh(4)
+        acc_sh = render_sweep_sharded(arrays, cams, cfg, mesh, use_pallas=True)
+        np.testing.assert_allclose(
+            np.asarray(acc_sh.max_contribution),
+            np.asarray(acc_seq.max_contribution),
+            atol=1e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(
+                np.minimum(acc_sh.min_surface_distance, 1e6)
+            ),
+            np.asarray(np.minimum(acc_seq.min_surface_distance, 1e6)),
+            atol=1e-5,
+        )
+
     def test_pad_cameras_inert(self):
         arrays, cams, cfg = _setup(n_cams=3)
         padded = pad_cameras(cams, 8)
