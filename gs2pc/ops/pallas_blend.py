@@ -51,8 +51,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from gs2pc.ops.blend import ALPHA_MAX, ALPHA_MIN, T_EPS
 
-TABLE_LANES = 16  # row: xy(2) conic(3) opacity(1) rgb(3) depth(1) gid(1) pad(5)
-GID_LANE = 10  # original Gaussian id as an exact f32 value (P < 2**24)
+TABLE_LANES = 16  # row: xy(2) conic(3) opacity(1) rgb(3) depth(1) pad(6)
 TPX = 256  # pixels per 16x16 tile
 
 
@@ -67,7 +66,7 @@ class AlignedPairs(NamedTuple):
     ~570 ms/cam at 1M Gaussians / 720p; this gather build is ~10x less)."""
 
     pair_tab: jnp.ndarray  # (16, L_al) f32 packed per-pair rows, transposed
-    gid: jnp.ndarray  # (L_al,) int32 original Gaussian id (P = sentinel)
+    sid: jnp.ndarray  # (L_al,) int32 pair slot id g*S+k (P*S = sentinel)
     starts: jnp.ndarray  # (NTP,) int32 aligned run start per tile
     counts: jnp.ndarray  # (NTP,) int32 true (capped) run length per tile
     total: jnp.ndarray  # () int32 — aligned pairs actually occupied (prefix)
@@ -77,16 +76,17 @@ _WINDOW = 1 << 20  # rows per dynamic prefix window
 
 
 def build_aligned_pairs(
-    table: jnp.ndarray,  # (P, 16) packed per-Gaussian table (depth order)
-    order: jnp.ndarray,  # (P,) depth order -> original index
+    table: jnp.ndarray,  # (P, 16) packed per-Gaussian table (ORIGINAL order)
     keys: jnp.ndarray,  # (L,) sorted tile keys (sentinel = big)
-    pair_g: jnp.ndarray,  # (L,) depth-order Gaussian index per sorted pair
+    pair_sid: jnp.ndarray,  # (L,) slot id (orig_gaussian * S + k) per pair
+    slots: int,  # S — slots per Gaussian in the sid packing
     num_tiles_pad: int,
     run_cap: int,
     run_chunk: int,
 ) -> AlignedPairs:
     L = keys.shape[0]
     P = table.shape[0]
+    NS = P * slots
     NTP = num_tiles_pad
     rs = run_chunk
 
@@ -116,19 +116,19 @@ def build_aligned_pairs(
         jnp.searchsorted(chunk_base, chunk_ids, side="right").astype(jnp.int32) - 1
     )
 
-    # Sentinel row: zeros except the gid lane, which must decode to P.
+    # Sentinel row P: zeros (opacity 0 — contributes nothing if ever read).
     sentinel = jnp.zeros((1, TABLE_LANES), table.dtype)
-    sentinel = sentinel.at[0, GID_LANE].set(jnp.float32(P))
     table_ext = jnp.concatenate([table, sentinel])
-    pair_g_pad = jnp.concatenate([pair_g, jnp.full(rs, P, jnp.int32)])
+    sid_pad = jnp.concatenate([pair_sid, jnp.full(rs, NS, jnp.int32)])
 
     # Fill the aligned table over dynamic PREFIX WINDOWS: occupied slots are
     # a contiguous prefix [0, aligned_total); slot j of tile t maps to the
     # sorted pair starts[t] + rank.  Within a chunk the source pairs are
-    # CONSECUTIVE, so pair_g is fetched with rs-wide slice gathers.
+    # CONSECUTIVE, so sids are fetched with rs-wide slice gathers.
     n_win_cap = L_al // W
     CW = W // rs  # chunks per window
     tabT0 = jnp.zeros((TABLE_LANES, L_al), table.dtype)
+    sid0 = jnp.full((L_al,), NS, jnp.int32)
     lane = jnp.arange(rs, dtype=jnp.int32)
 
     def win_cond(state):
@@ -136,7 +136,7 @@ def build_aligned_pairs(
         return (w * W < aligned_total) & (w < n_win_cap)
 
     def win_body(state):
-        w, tabT = state
+        w, tabT, sid_al = state
         c0 = w * CW
         ch = c0 + jnp.arange(CW, dtype=jnp.int32)
         tile_c = tile_of_chunk[ch]  # (CW,) small gathers only
@@ -144,21 +144,22 @@ def build_aligned_pairs(
         count_c = counts[tile_c]
         src0 = jnp.clip(starts[tile_c] + base_c, 0, L)  # run start per chunk
         runs = jax.vmap(
-            lambda s: jax.lax.dynamic_slice(pair_g_pad, (s,), (rs,))
+            lambda s: jax.lax.dynamic_slice(sid_pad, (s,), (rs,))
         )(src0)  # (CW, rs) — slice gather, one index per chunk
         valid = (base_c[:, None] + lane[None, :]) < count_c[:, None]
-        idx_w = jnp.where(valid, runs, P).reshape(W)
-        rows = table_ext[idx_w]  # (W, 16) row gather — real pairs only
+        sid_w = jnp.where(valid, runs, NS).reshape(W)
+        rows = table_ext[jnp.minimum(sid_w // slots, P)]  # (W, 16) row gather
         tabT = jax.lax.dynamic_update_slice(tabT, rows.T, (0, w * W))
-        return w + 1, tabT
+        sid_al = jax.lax.dynamic_update_slice(sid_al, sid_w, (w * W,))
+        return w + 1, tabT, sid_al
 
-    _, pair_tab = jax.lax.while_loop(win_cond, win_body, (jnp.int32(0), tabT0))
-
-    gid = pair_tab[GID_LANE].astype(jnp.int32)
+    _, pair_tab, sid_al = jax.lax.while_loop(
+        win_cond, win_body, (jnp.int32(0), tabT0, sid0)
+    )
 
     return AlignedPairs(
         pair_tab=pair_tab,
-        gid=gid,
+        sid=sid_al,
         starts=astarts,
         counts=counts,
         total=aligned_total,

@@ -91,13 +91,20 @@ class TileConfig(NamedTuple):
 
 
 def _build_pairs(prep, order, cfg: TileConfig):
-    """Expand depth-ordered Gaussians into tile-sorted (key, pair) lists.
+    """Expand depth-ordered Gaussians into tile-sorted (key, sid) lists.
 
-    Returns (sorted_keys (L,), sorted_pair_g (L,)) where pair_g indexes the
-    depth-ordered Gaussian table; stable sort keeps front-to-back order
-    within each tile.
+    Returns (sorted_keys (L,), sorted_sid (L,)) where sid packs the pair's
+    identity as ``original_gaussian_id * S + slot_k``: the stable sort keeps
+    front-to-back order within each tile, the sid recovers both the Gaussian
+    (sid // S, indexing the ORIGINAL-order table — no depth reorder needed)
+    and a unique per-pair slot for scatter-set reductions (each real pair
+    owns exactly one cell of a (P, S) slot table, so the per-Gaussian
+    max/argmax/min reductions are conflict-free scatter-sets + lane
+    reductions instead of gathers + scatter-max).
     """
     S = cfg.slots
+    if order.shape[0] * S >= 2**31:
+        raise ValueError("P * slots must fit in int32")
     rmin = prep.rect_min[order]  # (P, 2) int32
     rmax = prep.rect_max[order]
     valid = prep.valid[order]
@@ -143,14 +150,12 @@ def _build_pairs(prep, order, cfg: TileConfig):
 
     tile_id = tile_y * cfg.grid_w + tile_x
     keys = jnp.where(slot_ok, tile_id, _KEY_SENTINEL).reshape(-1)
-    pair_g = jnp.broadcast_to(
-        jnp.arange(order.shape[0], dtype=jnp.int32)[:, None], (order.shape[0], S)
-    ).reshape(-1)
+    sid = (order[:, None] * S + k[None, :]).reshape(-1)
 
-    sorted_keys, sorted_pair_g = jax.lax.sort(
-        (keys, pair_g), num_keys=1, is_stable=True
+    sorted_keys, sorted_sid = jax.lax.sort(
+        (keys, sid), num_keys=1, is_stable=True
     )
-    return sorted_keys, sorted_pair_g
+    return sorted_keys, sorted_sid
 
 
 def render_tile_camera(
@@ -190,33 +195,34 @@ def render_tile_camera(
     sort_key = jnp.where(prep.valid, prep.depth, FLOAT_MAX)
     order = jnp.argsort(sort_key)
 
-    # Depth-ordered per-Gaussian table, PACKED into one row per Gaussian so
-    # each run chunk costs a single row gather instead of five: lanes
-    # [xy0, xy1, conic0..2, opacity, r, g, b, depth, gid-as-f32] + pad.
-    # gid is stored as a plain f32 VALUE (exact for P < 2**24): a bitcast
-    # int would be a denormal, and TPU data paths flush denormals to zero.
+    # Per-Gaussian table in ORIGINAL order (no depth-reorder gathers — the
+    # concat fuses straight into the preprocess), PACKED into one row per
+    # Gaussian so each run chunk costs a single row gather: lanes
+    # [xy0, xy1, conic0..2, opacity, r, g, b, depth] + pad to 16.
+    # Row lookups go through sid // S, which already encodes the original id.
     table = jnp.concatenate(
         [
-            prep.xy[order],
-            prep.conic[order],
-            prep.opacity[order][:, None],
-            colours[order],
-            prep.depth[order][:, None],
-            order.astype(jnp.float32)[:, None],
-            jnp.zeros((P, 5), jnp.float32),
+            prep.xy,
+            prep.conic,
+            prep.opacity[:, None],
+            colours,
+            prep.depth[:, None],
+            jnp.zeros((P, 6), jnp.float32),
         ],
         axis=1,
     )
 
-    keys, pair_g = _build_pairs(prep, order, cfg)
+    keys, pair_sid = _build_pairs(prep, order, cfg)
     L = keys.shape[0]
+    S = cfg.slots
+    NS = P * S  # slot-table size; slot NS is the dump cell for masked lanes
 
     if use_pallas:
         # Mosaic only exists on TPU; anywhere else the kernel runs in
         # interpret mode (slow, for tests / debugging).
         pallas_interpret = pallas_interpret or jax.default_backend() != "tpu"
         return _finish_pallas(
-            prep, order, table, keys, pair_g, camera, cfg, mask,
+            prep, table, keys, pair_sid, camera, cfg, mask,
             white_bkgd, calc_surface_distance, pallas_interpret, P,
         )
 
@@ -259,11 +265,11 @@ def render_tile_camera(
         idx = start[:, None] + offs[None, :]  # (TB, Rs)
         in_run = offs[None, :] < count[:, None]
         safe = jnp.clip(idx, 0, L - 1)
-        pg = pair_g[safe]
-        return pg, idx, in_run
+        sid = pair_sid[safe]
+        return sid, in_run
 
-    def chunk_tables(pg):
-        t = table[pg]  # (TB, Rs, 10) — one packed gather
+    def chunk_tables(sid):
+        t = table[sid // S]  # (TB, Rs, 16) — one packed gather
         return (
             t[..., 0:2],  # xy
             t[..., 2:5],  # conic
@@ -272,14 +278,15 @@ def render_tile_camera(
             t[..., 9],  # depth
         )
 
-    # Pair-aligned output buffers (slot L is the dump slot for masked lanes)
-    # plus an online per-Gaussian max accumulator (slot P is its dump slot).
-    m_buf0 = jnp.zeros(L + 1, jnp.float32)
-    apix_buf0 = jnp.zeros(L + 1, jnp.int32)
-    gmax0 = jnp.zeros(P + 1, jnp.float32)
+    # Per-pair slot tables (P, S) flattened; cell NS is the dump slot for
+    # masked lanes.  Every real pair owns a unique cell, so the scatters are
+    # plain conflict-free sets; the per-Gaussian reductions collapse to lane
+    # reductions over S at the end.
+    mtab0 = jnp.zeros(NS + 1, jnp.float32)
+    apixtab0 = jnp.zeros(NS + 1, jnp.int32)
 
     def batch_step(bufs, b):
-        m_buf, apix_buf, gmax = bufs
+        mtab, apixtab = bufs
         tids = jax.lax.dynamic_slice_in_dim(tid_by_load, b * TB, TB)
         start = starts_all[tids]
         count = counts_all[tids]
@@ -290,26 +297,24 @@ def render_tile_camera(
         carry0 = init_carry((TB, tpx), done0=~valid_px)
 
         def cond(state):
-            r, carry, _, _, _ = state
+            r, carry, _, _ = state
             return (r < n_steps) & jnp.logical_not(jnp.all(carry.done))
 
         def body(state):
-            r, carry, m_buf, apix_buf, gmax = state
-            pg, idx, in_run = gather_run(start, count, r)
-            xy, conic, op, col, dep = chunk_tables(pg)
+            r, carry, mtab, apixtab = state
+            sid, in_run = gather_run(start, count, r)
+            xy, conic, op, col, dep = chunk_tables(sid)
             new_carry, w = blend_chunk(carry, px, xy, conic, op, col, dep, in_run)
             m = jnp.max(w, axis=1)  # (TB, Rs)
             arg = jnp.argmax(w, axis=1).astype(jnp.int32)
             apix = jnp.take_along_axis(pixid, arg, axis=1)
-            slot = jnp.where(in_run, idx, L).reshape(-1)
-            m_buf = m_buf.at[slot].set(m.reshape(-1), unique_indices=False)
-            apix_buf = apix_buf.at[slot].set(apix.reshape(-1))
-            gslot = jnp.where(in_run, order[pg], P).reshape(-1)
-            gmax = gmax.at[gslot].max(m.reshape(-1))
-            return r + 1, new_carry, m_buf, apix_buf, gmax
+            slot = jnp.where(in_run, sid, NS).reshape(-1)
+            mtab = mtab.at[slot].set(m.reshape(-1))
+            apixtab = apixtab.at[slot].set(apix.reshape(-1))
+            return r + 1, new_carry, mtab, apixtab
 
-        _, carry, m_buf, apix_buf, gmax = jax.lax.while_loop(
-            cond, body, (jnp.int32(0), carry0, m_buf, apix_buf, gmax)
+        _, carry, mtab, apixtab = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), carry0, mtab, apixtab)
         )
 
         bg = jnp.float32(1.0 if white_bkgd else 0.0)
@@ -320,10 +325,10 @@ def render_tile_camera(
         )
         tile_ed = jnp.where(valid_px, carry.exp_depth, 0.0)
         tile_einv = jnp.where(valid_px, carry.exp_invdepth, 0.0)
-        return (m_buf, apix_buf, gmax), (tile_col, tile_ed, tile_einv)
+        return (mtab, apixtab), (tile_col, tile_ed, tile_einv)
 
-    (m_buf, apix_buf, gmax), (tiles_col, tiles_ed, tiles_einv) = jax.lax.scan(
-        batch_step, (m_buf0, apix_buf0, gmax0), jnp.arange(NB, dtype=jnp.int32)
+    (mtab, apixtab), (tiles_col, tiles_ed, tiles_einv) = jax.lax.scan(
+        batch_step, (mtab0, apixtab0), jnp.arange(NB, dtype=jnp.int32)
     )
 
     # Tiles were visited in load order; scatter back to tile-id order.
@@ -348,51 +353,18 @@ def render_tile_camera(
     ed = untile(tiles_ed)
     einv = untile(tiles_einv)
 
-    # Per-Gaussian reductions (deterministic replacements for CUDA atomics).
-    # contrib comes from the online scatter-max; the argmax-pixel equality
-    # pass runs over DYNAMIC PREFIX WINDOWS of the sorted pair array — all
-    # real pairs are a contiguous prefix [0, R) (sentinels sort last), so
-    # the scatter volume is the true pair count, not the static capacity.
-    contrib = jnp.maximum(gmax[:P], 0.0)  # empty segments -> 0 (CUDA init)
-    n_real = jnp.searchsorted(keys, jnp.int32(cfg.num_tiles)).astype(jnp.int32)
-    contrib_ext = jnp.concatenate([contrib, jnp.zeros(1, jnp.float32)])
-
-    W_POST = min(1 << 20, L)
-    n_win_cap = -(-L // W_POST)
-
-    def post_window(state):
-        win, best = state
-        off = win * W_POST
-        idx = off + jnp.arange(W_POST, dtype=jnp.int32)
-        ok = idx < n_real
-        safe = jnp.clip(idx, 0, L - 1)
-        gid = jnp.where(ok, order[pair_g[safe]], P)
-        m = m_buf[safe]
-        hit = ok & (m > 0.0) & (m >= contrib_ext[gid])
-        cand = jnp.where(hit, apix_buf[safe], -1)
-        best = best.at[gid].max(cand)
-        return win + 1, best
-
-    def post_cond(state):
-        win, _ = state
-        return (win * W_POST < n_real) & (win < n_win_cap)
-
-    _, best_ext = jax.lax.while_loop(
-        post_cond, post_window,
-        (jnp.int32(0), jnp.full(P + 1, -1, jnp.int32)),
-    )
-    best_pix = best_ext[:P]
-    img_flat = image.reshape(-1, 3)
-    best_colour = jnp.where(
-        (best_pix >= 0)[:, None], img_flat[jnp.maximum(best_pix, 0)], 0.0
-    )
+    # Per-Gaussian reductions (deterministic replacements for CUDA atomics):
+    # every pair wrote its own unique (gaussian, slot) cell, so max/argmax
+    # collapse to lane reductions over the S slots — no gathers, no
+    # conflict-handling scatter-max.
+    contrib, best_colour = _slot_reduce(mtab, apixtab, image, P, S)
 
     if calc_surface_distance:
         ed_tiles = tiles_ed.reshape(NTP, tpx)
-        sd_buf0 = jnp.full(L + 1, FLOAT_MAX, jnp.float32)
+        sdtab0 = jnp.full(NS + 1, FLOAT_MAX, jnp.float32)
         depth_tbl = table[:, 9]  # 1-col gathers are far cheaper than rows
 
-        def surf_batch(sd_buf, b):
+        def surf_batch(sdtab, b):
             tids = jax.lax.dynamic_slice_in_dim(tid_by_load, b * TB, TB)
             start = starts_all[tids]
             count = counts_all[tids]
@@ -407,39 +379,24 @@ def render_tile_camera(
                 return r < n_steps
 
             def body(state):
-                r, sd_buf = state
-                pg, idx, in_run = gather_run(start, count, r)
-                dep = depth_tbl[pg]
+                r, sdtab = state
+                sid, in_run = gather_run(start, count, r)
+                dep = depth_tbl[sid // S]
                 dist = jnp.abs(dep[:, None, :] - ed_b[:, :, None])
                 ok = valid_px[:, :, None] & in_run[:, None, :]
                 dist = jnp.where(ok, dist, FLOAT_MAX)
                 sd = jnp.min(dist, axis=1)  # (TB, Rs)
-                slot = jnp.where(in_run, idx, L).reshape(-1)
-                sd_buf = sd_buf.at[slot].set(sd.reshape(-1))
-                return r + 1, sd_buf
+                slot = jnp.where(in_run, sid, NS).reshape(-1)
+                sdtab = sdtab.at[slot].set(sd.reshape(-1))
+                return r + 1, sdtab
 
-            _, sd_buf = jax.lax.while_loop(cond, body, (jnp.int32(0), sd_buf))
-            return sd_buf, None
+            _, sdtab = jax.lax.while_loop(cond, body, (jnp.int32(0), sdtab))
+            return sdtab, None
 
-        sd_buf, _ = jax.lax.scan(
-            surf_batch, sd_buf0, jnp.arange(NB, dtype=jnp.int32)
+        sdtab, _ = jax.lax.scan(
+            surf_batch, sdtab0, jnp.arange(NB, dtype=jnp.int32)
         )
-
-        def surf_window(state):
-            win, smin = state
-            off = win * W_POST
-            idx = off + jnp.arange(W_POST, dtype=jnp.int32)
-            ok = idx < n_real
-            safe = jnp.clip(idx, 0, L - 1)
-            gid = jnp.where(ok, order[pair_g[safe]], P)
-            smin = smin.at[gid].min(jnp.where(ok, sd_buf[safe], FLOAT_MAX))
-            return win + 1, smin
-
-        _, surf_ext = jax.lax.while_loop(
-            post_cond, surf_window,
-            (jnp.int32(0), jnp.full(P + 1, FLOAT_MAX, jnp.float32)),
-        )
-        surf = surf_ext[:P]
+        surf = jnp.min(sdtab[:NS].reshape(P, S), axis=1)
     else:
         surf = jnp.full(P, FLOAT_MAX, jnp.float32)
 
@@ -454,6 +411,24 @@ def render_tile_camera(
     )
 
 
+def _slot_reduce(mtab, apixtab, image, P: int, S: int):
+    """(P*S+1) slot tables -> per-Gaussian (max contribution, best colour).
+
+    Tie-break on equal contribution: lowest slot index (deterministic; the
+    reference's CUDA atomics are race-ordered, rasterizer_impl note §5)."""
+    mt = mtab[: P * S].reshape(P, S)
+    contrib = jnp.max(mt, axis=1)  # empty rows -> 0 (CUDA init semantics)
+    kbest = jnp.argmax(mt, axis=1)
+    apix = jnp.take_along_axis(
+        apixtab[: P * S].reshape(P, S), kbest[:, None], axis=1
+    )[:, 0]
+    img_flat = image.reshape(-1, 3)
+    best_colour = jnp.where(
+        (contrib > 0.0)[:, None], img_flat[jnp.maximum(apix, 0)], 0.0
+    )
+    return contrib, best_colour
+
+
 def _untile(t, cfg: TileConfig):  # (NTP, tpx[, k]) -> (Hp, Wp[, k])
     extra = t.shape[2:]
     t = t[: cfg.num_tiles]
@@ -463,7 +438,7 @@ def _untile(t, cfg: TileConfig):  # (NTP, tpx[, k]) -> (Hp, Wp[, k])
 
 
 def _finish_pallas(
-    prep, order, table, keys, pair_g, camera, cfg: TileConfig, mask,
+    prep, table, keys, pair_sid, camera, cfg: TileConfig, mask,
     white_bkgd, calc_surface_distance, interpret, P,
 ):
     """Pallas-kernel blend path (see gs2pc.ops.pallas_blend)."""
@@ -472,9 +447,11 @@ def _finish_pallas(
     NTP = cfg.num_tiles_pad
     Rs = cfg.run_chunk
     tpx = cfg.tile * cfg.tile
+    S = cfg.slots
+    NS = P * S
 
     pairs = build_aligned_pairs(
-        table, order, keys, pair_g,
+        table, keys, pair_sid, slots=S,
         num_tiles_pad=NTP, run_cap=cfg.run_cap, run_chunk=Rs,
     )
 
@@ -500,9 +477,11 @@ def _finish_pallas(
     ed = _untile(tiles_ed, cfg)
     einv = _untile(tiles_einv, cfg)
 
-    # Per-Gaussian reductions over dynamic PREFIX WINDOWS [0, pairs.total)
-    # (occupied aligned slots are contiguous; sentinel gid == P dumps).
-    L_al = pairs.gid.shape[0]
+    # Per-Gaussian reductions: scatter-set each pair's (m, apix[, sd]) into
+    # its own (gaussian, slot) cell over dynamic PREFIX WINDOWS
+    # [0, pairs.total) (occupied aligned slots are contiguous; sentinel
+    # sid == NS dumps), then lane-reduce over the S slots.
+    L_al = pairs.sid.shape[0]
     W_POST = min(1 << 20, L_al)
     n_win_cap = -(-L_al // W_POST)
 
@@ -510,53 +489,35 @@ def _finish_pallas(
         w = state[0]
         return (w * W_POST < pairs.total) & (w < n_win_cap)
 
-    def gmax_window(state):
-        w, gmax = state
+    def scatter_window(state):
+        w, mtab, apixtab, sdtab = state
         off = w * W_POST
+        sid_w = jax.lax.dynamic_slice_in_dim(pairs.sid, off, W_POST)
         m_w = jax.lax.dynamic_slice_in_dim(m_al, off, W_POST)
-        gid_w = jax.lax.dynamic_slice_in_dim(pairs.gid, off, W_POST)
-        return w + 1, gmax.at[gid_w].max(m_w)
-
-    _, gmax = jax.lax.while_loop(
-        win_cond, gmax_window, (jnp.int32(0), jnp.zeros(P + 1, jnp.float32))
-    )
-    contrib = jnp.maximum(gmax[:P], 0.0)
-    contrib_ext = jnp.concatenate([contrib, jnp.zeros(1, jnp.float32)])
-
-    def pix_window(state):
-        w, best = state
-        off = w * W_POST
-        m_w = jax.lax.dynamic_slice_in_dim(m_al, off, W_POST)
-        gid_w = jax.lax.dynamic_slice_in_dim(pairs.gid, off, W_POST)
         apix_w = jax.lax.dynamic_slice_in_dim(apix_al, off, W_POST)
-        hit = (m_w > 0.0) & (m_w >= contrib_ext[gid_w])
-        return w + 1, best.at[gid_w].max(jnp.where(hit, apix_w, -1))
+        mtab = mtab.at[sid_w].set(m_w)
+        apixtab = apixtab.at[sid_w].set(apix_w)
+        if calc_surface_distance:
+            sd_w = jax.lax.dynamic_slice_in_dim(sd_al, off, W_POST)
+            sdtab = sdtab.at[sid_w].set(sd_w)
+        return w + 1, mtab, apixtab, sdtab
 
-    _, best_ext = jax.lax.while_loop(
-        win_cond, pix_window, (jnp.int32(0), jnp.full(P + 1, -1, jnp.int32))
+    sdtab0 = jnp.full(
+        NS + 1 if calc_surface_distance else 1, FLOAT_MAX, jnp.float32
     )
-    best_pix = best_ext[:P]
-    img_flat = image.reshape(-1, 3)
-    best_colour = jnp.where(
-        (best_pix >= 0)[:, None], img_flat[jnp.maximum(best_pix, 0)], 0.0
+    _, mtab, apixtab, sdtab = jax.lax.while_loop(
+        win_cond, scatter_window,
+        (
+            jnp.int32(0),
+            jnp.zeros(NS + 1, jnp.float32),
+            jnp.zeros(NS + 1, jnp.int32),
+            sdtab0,
+        ),
     )
+    contrib, best_colour = _slot_reduce(mtab, apixtab, image, P, S)
 
     if calc_surface_distance:
-        # Per-pair min distances come straight from the kernel's in-loop
-        # surface pass; reduce them per Gaussian over the same prefix
-        # windows.
-        def sd_window(state):
-            w, smin = state
-            off = w * W_POST
-            sd_w = jax.lax.dynamic_slice_in_dim(sd_al, off, W_POST)
-            gid_w = jax.lax.dynamic_slice_in_dim(pairs.gid, off, W_POST)
-            return w + 1, smin.at[gid_w].min(sd_w)
-
-        _, smin = jax.lax.while_loop(
-            win_cond, sd_window,
-            (jnp.int32(0), jnp.full(P + 1, FLOAT_MAX, jnp.float32)),
-        )
-        surf = smin[:P]
+        surf = jnp.min(sdtab[:NS].reshape(P, S), axis=1)
         surf = jnp.where(jnp.isinf(surf), FLOAT_MAX, surf)
     else:
         surf = jnp.full(P, FLOAT_MAX, jnp.float32)

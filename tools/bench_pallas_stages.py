@@ -1,0 +1,137 @@
+"""Stage-level timing of the Pallas render path on the default backend.
+
+    python tools/bench_pallas_stages.py [--gaussians 1000000]
+
+Isolates: preprocess, depth argsort, pair expand+sort, aligned table
+build, blend kernel, post reductions — the DESIGN §7 table, refreshed.
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+import bench
+from gs2pc.ops import rasterize
+from gs2pc.ops.blend import FLOAT_MAX
+from gs2pc.ops.pallas_blend import build_aligned_pairs
+from gs2pc.ops.projection import preprocess
+from gs2pc.ops.rasterize import TileConfig
+
+
+def timed(fn, *args, reps=3):
+    out = fn(*args)
+    jax.tree.map(lambda x: x.block_until_ready(), out)
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        jax.tree.map(lambda x: x.block_until_ready(), out)
+        best = min(best, time.perf_counter() - t0)
+    return best, out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--gaussians", type=int, default=1_000_000)
+    ap.add_argument("--width", type=int, default=1280)
+    ap.add_argument("--height", type=int, default=720)
+    ap.add_argument("--surface", action="store_true")
+    args = ap.parse_args()
+
+    scene = bench.make_scene(args.gaussians)
+    cameras, wp, hp = bench.make_cameras(1, args.width, args.height)
+    cam = cameras.at(0)
+    cfg = TileConfig(width_pad=wp, height_pad=hp, slots=16,
+                     run_cap=4096, run_chunk=128, tile_batch=128)
+    arrays = (
+        scene.xyz, scene.covariance_factors(), scene.opacities,
+        scene.colours, jnp.ones(scene.num_gaussians, bool),
+    )
+
+    @jax.jit
+    def stage_prep(means, covf, op, col, alive):
+        return preprocess(
+            means, covf, op, alive, cam.viewmatrix, cam.projmatrix,
+            cam.tanfovx, cam.tanfovy, cam.focal_x, cam.focal_y,
+            cam.width, cam.height,
+        )
+
+    t, prep = timed(stage_prep, *arrays)
+    print(f"preprocess:            {t*1000:8.1f} ms")
+
+    @jax.jit
+    def stage_sort(prep):
+        return jnp.argsort(jnp.where(prep.valid, prep.depth, FLOAT_MAX))
+
+    t, order = timed(stage_sort, prep)
+    print(f"depth argsort:         {t*1000:8.1f} ms")
+
+    @jax.jit
+    def stage_pairs(prep, order):
+        return rasterize._build_pairs(prep, order, cfg)
+
+    t, (keys, pair_sid) = timed(stage_pairs, prep, order)
+    n_real = int(jnp.searchsorted(keys, jnp.int32(cfg.num_tiles)))
+    print(f"pair expand+sort:      {t*1000:8.1f} ms   (L={keys.shape[0]}, real={n_real})")
+
+    def make_table(prep):
+        P = prep.xy.shape[0]
+        return jnp.concatenate(
+            [
+                prep.xy, prep.conic,
+                prep.opacity[:, None], scene.colours,
+                prep.depth[:, None],
+                jnp.zeros((P, 6), jnp.float32),
+            ],
+            axis=1,
+        )
+
+    t, table = timed(jax.jit(make_table), prep)
+    print(f"packed table build:    {t*1000:8.1f} ms")
+
+    @jax.jit
+    def stage_aligned(table, keys, pair_sid):
+        return build_aligned_pairs(
+            table, keys, pair_sid, slots=cfg.slots,
+            num_tiles_pad=cfg.num_tiles_pad, run_cap=cfg.run_cap,
+            run_chunk=cfg.run_chunk,
+        )
+
+    t, pairs = timed(stage_aligned, table, keys, pair_sid)
+    print(f"aligned table build:   {t*1000:8.1f} ms   (L_al={pairs.pair_tab.shape[1]}, occupied={int(pairs.total)})")
+
+    from gs2pc.ops.pallas_blend import pallas_blend
+
+    @jax.jit
+    def stage_blend(pairs):
+        mask_tiles = jnp.ones((cfg.num_tiles_pad, 256), jnp.uint8)
+        return pallas_blend(
+            pairs, mask_tiles, cam.width, cam.height,
+            num_tiles=cfg.num_tiles, num_tiles_pad=cfg.num_tiles_pad,
+            grid_w=cfg.grid_w, width_pad=cfg.width_pad,
+            run_chunk=cfg.run_chunk, white_bkgd=True,
+            run_cap_hint=cfg.run_cap, with_surface=args.surface,
+        )
+
+    t, _ = timed(stage_blend, pairs)
+    print(f"blend kernel (surface={args.surface!s:5}): {t*1000:6.1f} ms")
+
+    @jax.jit
+    def full(means, covf, op, col, alive):
+        return rasterize.render_tile_camera(
+            means, covf, op, col, alive, cam, cfg,
+            calc_surface_distance=args.surface, use_pallas=True,
+        )
+
+    t, _ = timed(full, *arrays)
+    print(f"full camera (pallas):  {t*1000:8.1f} ms")
+
+
+if __name__ == "__main__":
+    main()
