@@ -119,7 +119,16 @@ def build_aligned_pairs(
     # Sentinel row P: zeros (opacity 0 — contributes nothing if ever read).
     sentinel = jnp.zeros((1, TABLE_LANES), table.dtype)
     table_ext = jnp.concatenate([table, sentinel])
-    sid_pad = jnp.concatenate([pair_sid, jnp.full(rs, NS, jnp.int32)])
+    # Row-major view of the sorted sids for the chunk fetch: chunk c needs
+    # 128 CONSECUTIVE elements starting at src0[c], i.e. (a rotation of) two
+    # adjacent rows of this view.
+    # Rows needed per chunk fetch: worst-case lane offset 127 plus rs slots.
+    n_fetch_rows = (rs + 127) // 128 + 1
+    L_rows = -(-(L + 1) // 128) + n_fetch_rows - 1
+    sid_rows = jnp.zeros((L_rows, 128), jnp.int32)
+    sid_rows = jax.lax.dynamic_update_slice(
+        sid_rows.reshape(-1), pair_sid, (0,)
+    ).reshape(L_rows, 128)
 
     # Fill the aligned table over dynamic PREFIX WINDOWS: occupied slots are
     # a contiguous prefix [0, aligned_total); slot j of tile t maps to the
@@ -143,9 +152,20 @@ def build_aligned_pairs(
         base_c = ch * rs - astarts[tile_c]  # rank of the chunk's first slot
         count_c = counts[tile_c]
         src0 = jnp.clip(starts[tile_c] + base_c, 0, L)  # run start per chunk
-        runs = jax.vmap(
-            lambda s: jax.lax.dynamic_slice(sid_pad, (s,), (rs,))
-        )(src0)  # (CW, rs) — slice gather, one index per chunk
+        # Chunk sid fetch as ROW gathers + a barrel rotate: each chunk's
+        # 128 consecutive sorted sids span two adjacent 128-wide rows;
+        # rotating left by src0 % 128 needs 7 select+static-roll rounds —
+        # ~10x cheaper than a per-element gather (which runs at ~9 ms/M)
+        # and ~4x cheaper than a vmap of dynamic_slices (serial loop).
+        q = src0 // 128
+        wide = jnp.concatenate(
+            [sid_rows[q + i] for i in range(n_fetch_rows)], axis=1
+        )  # (CW, >= rs + 128)
+        shift = src0 % 128
+        for bit in (64, 32, 16, 8, 4, 2, 1):
+            rolled = jnp.roll(wide, -bit, axis=1)
+            wide = jnp.where((shift & bit)[:, None] != 0, rolled, wide)
+        runs = wide[:, :rs]
         valid = (base_c[:, None] + lane[None, :]) < count_c[:, None]
         sid_w = jnp.where(valid, runs, NS).reshape(W)
         rows = table_ext[jnp.minimum(sid_w // slots, P)]  # (W, 16) row gather
