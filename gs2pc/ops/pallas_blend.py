@@ -111,10 +111,14 @@ def build_aligned_pairs(
     # slots on TPU; per-chunk they are 128x cheaper).
     chunk_base = astarts // rs  # (NTP,) first chunk id of each tile
     n_chunks_cap = L_al // rs
-    chunk_ids = jnp.arange(n_chunks_cap, dtype=jnp.int32)
-    tile_of_chunk = (
-        jnp.searchsorted(chunk_base, chunk_ids, side="right").astype(jnp.int32) - 1
-    )
+    # tile_of_chunk[c] = largest tile whose first chunk is <= c: a tiny
+    # scatter-max at each tile's base chunk + a cummax (zero-run tiles
+    # share a base; max picks the later tile, which owns the chunks) —
+    # ~20x cheaper than a searchsorted over the chunk axis.
+    tile_of_chunk = jnp.zeros(n_chunks_cap, jnp.int32).at[
+        jnp.minimum(chunk_base, n_chunks_cap - 1)
+    ].max(jnp.arange(NTP, dtype=jnp.int32))
+    tile_of_chunk = jax.lax.cummax(tile_of_chunk)
 
     # Sentinel row P: zeros (opacity 0 — contributes nothing if ever read).
     sentinel = jnp.zeros((1, TABLE_LANES), table.dtype)

@@ -36,3 +36,16 @@ def quat_to_rotmat(q: jnp.ndarray) -> jnp.ndarray:
         [2 * (x * z - r * y), 2 * (y * z + r * x), 1 - 2 * (x * x + y * y)], axis=-1
     )
     return jnp.stack([row0, row1, row2], axis=-2)
+
+
+def quat_rotate(q: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """Rotate (..., 3) vectors by (..., 4) wxyz quaternions.
+
+    Identical to ``quat_to_rotmat(q) @ v`` but stays in (..., 3) arrays —
+    on TPU a materialised (N, 3, 3) matrix batch pays tiny-minor-dim
+    relayouts that make the equivalent einsum ~10x slower.
+    """
+    w = q[..., 0:1]
+    u = q[..., 1:4]
+    t = 2.0 * jnp.cross(u, v)
+    return v + w * t + jnp.cross(u, t)

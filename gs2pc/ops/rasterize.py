@@ -9,8 +9,9 @@ shared-memory batches and CAS-loop float atomics for per-Gaussian maxima.
 TPU mapping (all fixed shapes, no atomics):
 
 1.  preprocess: vectorised jnp over the Gaussian axis (ops/projection.py).
-2.  ONE global depth argsort of Gaussians (replaces the per-key depth bits:
-    a later *stable* sort by tile id alone preserves depth order per tile).
+2.  sort key = (tile, depth-bits, sid): positive-f32 depth bits are
+    order-isomorphic to depth — the CUDA 64-bit [tileID|depth] key split
+    across sort operands (no depth argsort, no reorder pass).
 3.  pair expansion with a static per-Gaussian slot budget S: slot k of
     Gaussian g maps to the k-th cell of a window of its tile rect centred
     on its projected centre.  Gaussians covering more than S tiles are
@@ -51,22 +52,12 @@ class TileConfig(NamedTuple):
     width_pad: int
     height_pad: int
     tile: int = 16
-    slots: int = 16  # S: window size (candidate tiles per Gaussian)
-    slot_keep: int = 0  # K: kept pairs per Gaussian after the circle cull
+    slots: int = 16  # S: window size (candidate tiles per big Gaussians)
+    slots_small: int = 4  # SA: window size for rect-covered (small) Gaussians
+    big_cap: int = 0  # max Gaussians granted the full S window (0 = P // 4)
     run_cap: int = 4096  # R_cap: max pairs blended per tile
     run_chunk: int = 128  # Rs: pairs per inner step
     tile_batch: int = 256  # TB: tiles per outer step
-
-    @property
-    def keep(self) -> int:
-        """Pairs per Gaussian entering the global tile sort.
-
-        The S-slot window is a CANDIDATE set; after the exact circle-tile
-        cull only ~3 pairs per Gaussian survive on average, so the global
-        sort can keep the K nearest surviving tiles per Gaussian (a tiny
-        per-Gaussian lane sort) instead of carrying S-wide sentinel slots
-        into the big sort.  0 = keep all S."""
-        return self.slots if self.slot_keep <= 0 else min(self.slot_keep, self.slots)
 
     @property
     def grid_w(self) -> int:
@@ -90,30 +81,16 @@ class TileConfig(NamedTuple):
         return min(self.tile_batch, max(self.num_tiles, 1))
 
 
-def _build_pairs(prep, order, cfg: TileConfig):
-    """Expand depth-ordered Gaussians into tile-sorted (key, sid) lists.
+def _window_keys(rmin, rmax, xy, r_alpha_sq, valid, s_win: int, cfg: TileConfig):
+    """Tile keys for an s_win-slot window centred on each Gaussian's tile.
 
-    Returns (sorted_keys (L,), sorted_sid (L,)) where sid packs the pair's
-    identity as ``original_gaussian_id * S + slot_k``: the stable sort keeps
-    front-to-back order within each tile, the sid recovers both the Gaussian
-    (sid // S, indexing the ORIGINAL-order table — no depth reorder needed)
-    and a unique per-pair slot for scatter-set reductions (each real pair
-    owns exactly one cell of a (P, S) slot table, so the per-Gaussian
-    max/argmax/min reductions are conflict-free scatter-sets + lane
-    reductions instead of gathers + scatter-max).
-    """
-    S = cfg.slots
-    if order.shape[0] * S >= 2**31:
-        raise ValueError("P * slots must fit in int32")
-    rmin = prep.rect_min[order]  # (P, 2) int32
-    rmax = prep.rect_max[order]
-    valid = prep.valid[order]
-    xy = prep.xy[order]
-
+    Returns (keys (N, s_win) int32 with _KEY_SENTINEL for dead slots,
+    covered (N,) bool — whether the window spans the WHOLE tile rect)."""
     rw = rmax[:, 0] - rmin[:, 0]
     rh = rmax[:, 1] - rmin[:, 1]
-    s_w = jnp.clip(rw, 1, S)
-    s_h = jnp.clip(jnp.minimum(rh, S // jnp.maximum(s_w, 1)), 1, S)
+    s_w = jnp.clip(rw, 1, s_win)
+    s_h = jnp.clip(jnp.minimum(rh, s_win // jnp.maximum(s_w, 1)), 1, s_win)
+    covered = (s_w >= rw) & (s_h >= rh)
 
     # Window origin: centred on the Gaussian's own tile, clamped into rect.
     ctx = jnp.clip(
@@ -125,8 +102,8 @@ def _build_pairs(prep, order, cfg: TileConfig):
     ox = jnp.clip(ctx - s_w // 2, rmin[:, 0], jnp.maximum(rmax[:, 0] - s_w, rmin[:, 0]))
     oy = jnp.clip(cty - s_h // 2, rmin[:, 1], jnp.maximum(rmax[:, 1] - s_h, rmin[:, 1]))
 
-    k = jnp.arange(S, dtype=jnp.int32)  # (S,)
-    dx = k[None, :] % jnp.maximum(s_w, 1)[:, None]  # (P, S)
+    k = jnp.arange(s_win, dtype=jnp.int32)  # (s_win,)
+    dx = k[None, :] % jnp.maximum(s_w, 1)[:, None]  # (N, s_win)
     dy = k[None, :] // jnp.maximum(s_w, 1)[:, None]
     slot_ok = valid[:, None] & (dy < s_h[:, None])
 
@@ -145,15 +122,86 @@ def _build_pairs(prep, order, cfg: TileConfig):
     )
     ddx = cx - xy[:, 0:1]
     ddy = cy - xy[:, 1:2]
-    r_alpha_sq = prep.r_alpha_sq[order][:, None]
-    slot_ok = slot_ok & (ddx * ddx + ddy * ddy <= r_alpha_sq)
+    slot_ok = slot_ok & (ddx * ddx + ddy * ddy <= r_alpha_sq[:, None])
 
     tile_id = tile_y * cfg.grid_w + tile_x
-    keys = jnp.where(slot_ok, tile_id, _KEY_SENTINEL).reshape(-1)
-    sid = (order[:, None] * S + k[None, :]).reshape(-1)
+    keys = jnp.where(slot_ok, tile_id, _KEY_SENTINEL)
+    return keys, covered
 
-    sorted_keys, sorted_sid = jax.lax.sort(
-        (keys, sid), num_keys=1, is_stable=True
+
+def _build_pairs(prep, cfg: TileConfig):
+    """Expand Gaussians into tile-sorted (key, sid) pair lists.
+
+    TWO-CLASS slot budget: every Gaussian whose tile rect fits inside the
+    small slots_small-window (the vast majority — splats average ~3 tiles)
+    expands only slots_small candidate slots; the few big ones are gathered
+    into a side array of at most big_cap rows with the full S-slot window
+    (overflow beyond big_cap falls back to the small window).  This shrinks
+    the global sort from P*S to P*slots_small + big_cap*S keys — the CUDA
+    analogue expands exact per-Gaussian counts via prefix sums
+    (duplicateWithKeys, rasterizer_impl.cu:69-110), which needs dynamic
+    shapes TPUs don't have.
+
+    The sort key is (tile, depth-bits, sid) — positive-f32 depth bits are
+    order-isomorphic to depth, exactly the CUDA [tileID|depth] 64-bit key
+    split across operands; sid breaks exact-depth ties by Gaussian id.
+    Expansion therefore runs in ORIGINAL Gaussian order (no depth argsort,
+    no reorder gathers).  sid = original_gaussian_id * S + slot_k: it
+    recovers the Gaussian (sid // S, indexing the original-order table) and
+    gives every real pair its own cell of a (P, S) slot table, so the
+    per-Gaussian max/argmax/min reductions are conflict-free scatter-sets
+    + lane reductions instead of gathers + scatter-max.
+
+    Returns (sorted_keys (L,), sorted_sid (L,)).
+    """
+    S = cfg.slots
+    SA = min(cfg.slots_small, S)
+    P = prep.valid.shape[0]
+    if P * S >= 2**31:
+        raise ValueError("P * slots must fit in int32")
+    gid = jnp.arange(P, dtype=jnp.int32)
+    depth_bits = jax.lax.bitcast_convert_type(prep.depth, jnp.int32)
+
+    keys_a, covered = _window_keys(
+        prep.rect_min, prep.rect_max, prep.xy, prep.r_alpha_sq,
+        prep.valid, SA, cfg,
+    )
+    sid_a = gid[:, None] * S + jnp.arange(SA, dtype=jnp.int32)[None, :]
+
+    if SA >= S:
+        keys = keys_a.reshape(-1)
+        sids = sid_a.reshape(-1)
+        ranks = jnp.broadcast_to(depth_bits[:, None], (P, SA)).reshape(-1)
+    else:
+        big = prep.valid & ~covered
+        b_cap = cfg.big_cap if cfg.big_cap > 0 else max(P // 4, 256)
+        b_cap = min(b_cap, P)
+        # Deterministic overflow: bigs beyond b_cap keep the small window.
+        big_rank = jnp.cumsum(big) - 1
+        overflow = big & (big_rank >= b_cap)
+        sel = big & ~overflow
+        keys_a = jnp.where(
+            (prep.valid & (covered | overflow))[:, None], keys_a, _KEY_SENTINEL
+        )
+        big_idx = jnp.nonzero(sel, size=b_cap, fill_value=P)[0]
+        safe = jnp.minimum(big_idx, P - 1).astype(jnp.int32)
+        b_valid = big_idx < P
+        keys_b, _ = _window_keys(
+            prep.rect_min[safe], prep.rect_max[safe], prep.xy[safe],
+            prep.r_alpha_sq[safe], b_valid, S, cfg,
+        )
+        sid_b = safe[:, None] * S + jnp.arange(S, dtype=jnp.int32)[None, :]
+        keys = jnp.concatenate([keys_a.reshape(-1), keys_b.reshape(-1)])
+        sids = jnp.concatenate([sid_a.reshape(-1), sid_b.reshape(-1)])
+        ranks = jnp.concatenate(
+            [
+                jnp.broadcast_to(depth_bits[:, None], (P, SA)).reshape(-1),
+                depth_bits[safe][:, None].repeat(S, axis=1).reshape(-1),
+            ]
+        )
+
+    sorted_keys, _, sorted_sid = jax.lax.sort(
+        (keys, ranks, sids), num_keys=3
     )
     return sorted_keys, sorted_sid
 
@@ -192,9 +240,6 @@ def render_tile_camera(
         antialiasing=antialiasing,
     )
 
-    sort_key = jnp.where(prep.valid, prep.depth, FLOAT_MAX)
-    order = jnp.argsort(sort_key)
-
     # Per-Gaussian table in ORIGINAL order (no depth-reorder gathers — the
     # concat fuses straight into the preprocess), PACKED into one row per
     # Gaussian so each run chunk costs a single row gather: lanes
@@ -212,7 +257,7 @@ def render_tile_camera(
         axis=1,
     )
 
-    keys, pair_sid = _build_pairs(prep, order, cfg)
+    keys, pair_sid = _build_pairs(prep, cfg)
     L = keys.shape[0]
     S = cfg.slots
     NS = P * S  # slot-table size; slot NS is the dump cell for masked lanes

@@ -61,8 +61,7 @@ def main():
             cam.tanfovx, cam.tanfovy, cam.focal_x, cam.focal_y,
             cam.width, cam.height,
         )
-        order = jnp.argsort(jnp.where(prep.valid, prep.depth, FLOAT_MAX))
-        keys, pair_g = rasterize._build_pairs(prep, order, cfg)
+        keys, pair_g = rasterize._build_pairs(prep, cfg)
         tids = jnp.arange(cfg.num_tiles_pad, dtype=jnp.int32)
         starts = jnp.searchsorted(keys, tids)
         return starts.sum() + pair_g[0]

@@ -2,7 +2,7 @@
 
     python tools/bench_pallas_stages.py [--gaussians 1000000]
 
-Isolates: preprocess, depth argsort, pair expand+sort, aligned table
+Isolates: preprocess, pair expand+sort, aligned table
 build, blend kernel, post reductions — the DESIGN §7 table, refreshed.
 """
 
@@ -66,17 +66,10 @@ def main():
     print(f"preprocess:            {t*1000:8.1f} ms")
 
     @jax.jit
-    def stage_sort(prep):
-        return jnp.argsort(jnp.where(prep.valid, prep.depth, FLOAT_MAX))
+    def stage_pairs(prep):
+        return rasterize._build_pairs(prep, cfg)
 
-    t, order = timed(stage_sort, prep)
-    print(f"depth argsort:         {t*1000:8.1f} ms")
-
-    @jax.jit
-    def stage_pairs(prep, order):
-        return rasterize._build_pairs(prep, order, cfg)
-
-    t, (keys, pair_sid) = timed(stage_pairs, prep, order)
+    t, (keys, pair_sid) = timed(stage_pairs, prep)
     n_real = int(jnp.searchsorted(keys, jnp.int32(cfg.num_tiles)))
     print(f"pair expand+sort:      {t*1000:8.1f} ms   (L={keys.shape[0]}, real={n_real})")
 
