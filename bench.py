@@ -100,34 +100,35 @@ def main():
         jnp.ones(scene.num_gaussians, bool),
     )
 
-    sweep = jax.jit(
-        lambda a, c: render_sweep(
-            a, c, cfg, calc_surface_distance=False, use_pallas=use_pallas
-        )
-    )
-
     n_cap = n_points + max(4096, n_points // 20)
 
+    # ONE fused jit: render sweep -> visibility-weighted budget -> sample.
+    # Every extra output buffer of a dispatch costs a tunnel round trip on
+    # the axon backend (~28 ms each, measured), so the whole device
+    # pipeline runs as a single call with three outputs.
     @jax.jit
-    def sample_stage(key, acc_total):
-        sizes = scene.magnitudes(contributions=acc_total)
+    def pipeline(key):
+        acc = render_sweep(
+            arrays, cameras, cfg,
+            calc_surface_distance=False, use_pallas=use_pallas,
+        )
+        sizes = scene.magnitudes(contributions=acc.total_contribution)
         ppg = distribute_points(sizes, n_points)
         out = sample_points(key, scene, ppg, n_cap=n_cap, num_attempts=5)
         return out.points, out.colours, out.valid
 
-    # Warmup / compile.
-    acc = sweep(arrays, cameras)
-    jax.tree.map(lambda x: x.block_until_ready(), acc)
-    pts, cols, valid = sample_stage(jax.random.PRNGKey(0), acc.total_contribution)
-    pts.block_until_ready()
+    # Warmup / compile.  block_until_ready is NOT trustworthy through the
+    # axon tunnel (it can return before execution finishes); fetching a
+    # value is the only honest sync, so timings bracket a 1-element get.
+    pts, cols, valid = pipeline(jax.random.PRNGKey(0))
+    np.asarray(pts[0, 0])
 
-    # Timed end-to-end device pipeline.
-    t0 = time.perf_counter()
-    acc = sweep(arrays, cameras)
-    pts, cols, valid = sample_stage(jax.random.PRNGKey(1), acc.total_contribution)
-    pts.block_until_ready()
-    cols.block_until_ready()
-    elapsed = time.perf_counter() - t0
+    elapsed = float("inf")
+    for rep in range(1, 3):
+        t0 = time.perf_counter()
+        pts, cols, valid = pipeline(jax.random.PRNGKey(rep))
+        np.asarray(pts[0, 0])
+        elapsed = min(elapsed, time.perf_counter() - t0)
 
     n_emitted = int(jnp.sum(valid))
     pps = n_emitted / elapsed
