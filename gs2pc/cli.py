@@ -8,10 +8,42 @@ from gs2pc.utils import log
 from gs2pc.utils.config import parse_args, settings_from_args
 
 
+def enable_compilation_cache() -> None:
+    """Persist XLA compilations across CLI invocations.
+
+    The pipeline's two big jit programs (render sweep, sampler) take tens
+    of seconds to compile — dominating small conversions.  Shapes are
+    padded (camera resolutions, point budgets), so repeat runs usually hit
+    the cache.  Override the location with GS2PC_CACHE_DIR; disable with
+    GS2PC_CACHE_DIR=""."""
+    import os
+
+    cache_dir = os.environ.get(
+        "GS2PC_CACHE_DIR",
+        os.path.join(
+            os.environ.get("XDG_CACHE_HOME", os.path.expanduser("~/.cache")),
+            "gs2pc", "jax_cache",
+        ),
+    )
+    if not cache_dir:
+        return
+    try:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass  # cache is an optimisation; never fail the conversion over it
+
+
 def main(argv: Optional[Sequence[str]] = None) -> None:
+    from gs2pc.utils.platform import honour_platform_env
+
+    honour_platform_env()
     args = parse_args(argv)
     settings = settings_from_args(args)
     log.set_quiet(settings.quiet)
+    enable_compilation_cache()
 
     from gs2pc.io.ply import save_xyz_to_ply
     from gs2pc.pipeline import PointCloudData, convert_3dgs_to_pc

@@ -35,13 +35,22 @@ from gs2pc.models.gaussians import Gaussians
 from gs2pc.ops.quaternion import quat_rotate
 
 
-def distribute_points(gaussian_sizes: jnp.ndarray, num_points: int) -> jnp.ndarray:
+def distribute_points(
+    gaussian_sizes: jnp.ndarray,
+    num_points: int,
+    mask: jnp.ndarray | None = None,
+) -> jnp.ndarray:
     """Assign an integer point quota per Gaussian, proportional to size.
 
     Matches gauss_to_pc.py:73-90: round(sizes * N / sum(sizes)), then
     promote zero-quota Gaussians to 1 while budget remains.  (The reference
     slices with a possibly-negative length when rounding overshoots —
     a latent bug; we clamp the promotion count at zero.)
+
+    ``mask`` marks Gaussians eligible for the zero-quota promotion: culled
+    Gaussians ride along with size 0 (fixed-shape, no compaction) and must
+    not be resurrected; the promotion order over eligible Gaussians is
+    identical to running on a compacted array.
     """
     gaussian_sizes = jnp.asarray(gaussian_sizes, jnp.float32)
     total = jnp.sum(gaussian_sizes)
@@ -50,6 +59,8 @@ def distribute_points(gaussian_sizes: jnp.ndarray, num_points: int) -> jnp.ndarr
 
     deficit = num_points - jnp.sum(ppg)
     zeros = ppg == 0
+    if mask is not None:
+        zeros = zeros & mask
     zero_rank = jnp.cumsum(zeros.astype(jnp.int32)) - 1
     promote = jnp.clip(deficit, 0, jnp.sum(zeros.astype(jnp.int32)))
     return jnp.where(zeros & (zero_rank < promote), 1, ppg)

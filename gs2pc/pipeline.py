@@ -142,21 +142,29 @@ def generate_point_cloud_data(
     contributions: Optional[jnp.ndarray] = None,
     seed_offset: int = 0,
 ) -> PointCloudData:
-    """distribute -> sample -> host-compact (gauss_to_pc.py:277-371 role)."""
-    sizes = gaussians.magnitudes(contributions=contributions)
-    ppg = distribute_points(sizes, num_points)
+    """distribute -> sample -> host-compact (gauss_to_pc.py:277-371 role).
+
+    ONE jitted call: magnitudes, keep_mask zeroing (masked Gaussians get a
+    zero quota — byte-identical to sampling a compacted scene), budget
+    distribution, and the sampler itself."""
     n_cap = int(num_points + max(4096, num_points // 20))
     attempts = 100 if settings.exact_num_points else 5
 
-    key = jax.random.PRNGKey(settings.seed + seed_offset)
-    sampled = jax.jit(
-        lambda k, g, q: sample_points(
-            k, g, q,
+    @jax.jit
+    def sample_stage(k, g: Gaussians, contrib):
+        sizes = g.magnitudes(contributions=contrib)
+        if g.keep_mask is not None:
+            sizes = jnp.where(g.keep_mask, sizes, 0.0)
+        ppg = distribute_points(sizes, num_points, mask=g.keep_mask)
+        return sample_points(
+            k, g, ppg,
             n_cap=n_cap,
             mahalanobis_std=settings.mahalanobis_distance_std,
             num_attempts=attempts,
         )
-    )(key, gaussians, ppg)
+
+    key = jax.random.PRNGKey(settings.seed + seed_offset)
+    sampled = sample_stage(key, gaussians, contributions)
 
     valid = np.asarray(sampled.valid)
     points = np.asarray(sampled.points)[valid]
@@ -245,43 +253,50 @@ def convert_3dgs_to_pc(
 
         log.info(f"\nNumber Initial Gaussians: {gaussians.num_gaussians}")
 
-        # Rendered colours (0-255 from here on, gauss_to_pc.py:481).
-        gaussians = dataclasses.replace(gaussians, colours=acc.colours * 255.0)
-
-        if settings.surface_distance_std is not None:
-            gaussians = gaussians.add_to_cull(
-                surface_keep_mask(
-                    acc.min_surface_distance, settings.surface_distance_std
+        # Colour assignment + the ENTIRE cull chain as one jitted call.
+        # Culled Gaussians stay in place with keep_mask=False (fixed shapes,
+        # no host compaction): every predicate is computed on the initial
+        # set — exactly the reference's lazily-ANDed filter semantics
+        # (gauss_handler.py:86-87) — and the sampler gives masked Gaussians
+        # a zero point quota, which is byte-identical to removing them.
+        @jax.jit
+        def cull_chain(g: Gaussians, a: SweepAccumulators):
+            # Rendered colours (0-255 from here on, gauss_to_pc.py:481).
+            g = dataclasses.replace(g, colours=a.colours * 255.0)
+            if settings.surface_distance_std is not None:
+                g = g.add_to_cull(
+                    surface_keep_mask(
+                        a.min_surface_distance, settings.surface_distance_std
+                    )
                 )
+            if settings.remove_unrendered_gaussians:
+                g = g.add_to_cull(
+                    a.max_contribution > settings.visibility_threshold
+                )
+            g = g.apply_min_opacity(settings.min_opacity)
+            g = g.apply_bounding_box(
+                settings.bounding_box_min, settings.bounding_box_max
             )
-        if settings.remove_unrendered_gaussians:
-            gaussians = gaussians.add_to_cull(
-                acc.max_contribution > settings.visibility_threshold
-            )
-        gaussians = gaussians.apply_min_opacity(settings.min_opacity)
-        gaussians = gaussians.apply_bounding_box(
-            settings.bounding_box_min, settings.bounding_box_max
-        )
-        gaussians = gaussians.cull_large_gaussians(settings.cull_large_percentage)
+            g = g.cull_large_gaussians(settings.cull_large_percentage)
+            return g, jnp.sum(g.keep_mask)
 
-        gaussians, culled_mask = gaussians.filter()
+        gaussians, kept = cull_chain(gaussians, acc)
+        kept = int(kept)
 
-        log.info(f"\nNumber Gaussians after Culling: {gaussians.num_gaussians}")
-        if gaussians.num_gaussians < 1:
+        log.info(f"\nNumber Gaussians after Culling: {kept}")
+        if kept < 1:
             raise Exception(
                 "Number of Gaussians after culling is 0, meaning a point "
                 "cloud cannot be generated"
             )
 
         if settings.generate_mesh:
-            surface_keep_global = np.asarray(
-                surface_keep_mask(acc.min_surface_distance, 1.0)
-            )[culled_mask]
+            surface_keep_global = surface_keep_mask(
+                acc.min_surface_distance, 1.0
+            )
 
         if settings.prioritise_visible_gaussians:
-            total_gaussian_contributions = jnp.asarray(
-                np.asarray(acc.total_contribution)[culled_mask]
-            )
+            total_gaussian_contributions = acc.total_contribution
     else:
         gaussians = dataclasses.replace(
             gaussians, colours=gaussians.colours * 255.0
@@ -303,24 +318,19 @@ def convert_3dgs_to_pc(
     surface_point_cloud = None
     if settings.generate_mesh and settings.render_colours:
         log.info("Starting Point Cloud Generation for Surface Gaussians\n")
-        surf_gaussians = gaussians.add_to_cull(jnp.asarray(surface_keep_global))
-        surf_gaussians, surf_mask = surf_gaussians.filter()
+        surf_gaussians = gaussians.add_to_cull(surface_keep_global)
+        surf_count = int(jnp.sum(surf_gaussians.keep_mask))
 
         total_mesh_points = min(
             settings.num_points // 2,
-            surf_gaussians.num_gaussians * AVG_POINTS_PER_GAUSS_FOR_MESH,
+            surf_count * AVG_POINTS_PER_GAUSS_FOR_MESH,
         )
-        surf_contrib = None
-        if total_gaussian_contributions is not None:
-            surf_contrib = jnp.asarray(
-                np.asarray(total_gaussian_contributions)[surf_mask]
-            )
         with log.phase("surface_sampling"):
             surface_point_cloud = generate_point_cloud_data(
                 surf_gaussians,
                 total_mesh_points,
                 settings,
-                contributions=surf_contrib,
+                contributions=total_gaussian_contributions,
                 seed_offset=1,
             )
 

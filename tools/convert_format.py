@@ -15,6 +15,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
+from gs2pc.utils.platform import honour_platform_env
+
+honour_platform_env()  # host-only tool: JAX_PLATFORMS=cpu must win
+
 
 def main():
     ap = argparse.ArgumentParser()
