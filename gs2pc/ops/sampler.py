@@ -30,6 +30,7 @@ from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from gs2pc.models.gaussians import Gaussians
 from gs2pc.ops.quaternion import quat_rotate
@@ -66,6 +67,36 @@ def distribute_points(
     return jnp.where(zeros & (zero_rank < promote), 1, ppg)
 
 
+_SQRT_2_OVER_PI = 0.7978845608028654
+
+
+def _chi3_cdf(r: jnp.ndarray) -> jnp.ndarray:
+    """CDF of the chi distribution with 3 dof (radius of a standard MVN)."""
+    return jax.scipy.special.erf(
+        r * jnp.float32(1.0 / np.sqrt(2.0))
+    ) - _SQRT_2_OVER_PI * r * jnp.exp(-0.5 * r * r)
+
+
+def _chi3_truncated_radius(
+    u: jnp.ndarray, std: jnp.ndarray, iters: int = 26
+) -> jnp.ndarray:
+    """Inverse CDF of chi_3 truncated to [0, std], via bisection.
+
+    F is strictly increasing, so 26 branch-free bisection rounds pin the
+    radius to std * 2^-26 — below f32 resolution for any practical std
+    (Newton diverges in the flat tail when std >~ 4; bisection is robust
+    for every truncation radius).  Pure (N,) elementwise VPU work."""
+    t = u * _chi3_cdf(std)
+    lo = jnp.zeros_like(u)
+    hi = jnp.broadcast_to(jnp.asarray(std, u.dtype), u.shape)
+    for _ in range(iters):
+        mid = 0.5 * (lo + hi)
+        below = _chi3_cdf(mid) < t
+        lo = jnp.where(below, mid, lo)
+        hi = jnp.where(below, hi, mid)
+    return 0.5 * (lo + hi)
+
+
 class SampledPoints(NamedTuple):
     """Fixed-capacity sampled point cloud (compact with ``valid``)."""
 
@@ -92,10 +123,12 @@ def sample_points(
         gaussians: scene (already filtered/validated).
         points_per_gaussian: (P,) int32 quotas (centre included in quota).
         n_cap: static output capacity; quota tails beyond it are dropped.
-        mahalanobis_std: rejection radius in standard deviations
+        mahalanobis_std: truncation radius in standard deviations
             (reference default 2.0, gauss_to_pc.py:636).
-        num_attempts: resample attempts per point (5 normal / 100 exact,
-            gauss_to_pc.py:535).
+        num_attempts: unused, kept for API compatibility — the reference's
+            5/100-attempt rejection loop (gauss_to_pc.py:535) is replaced
+            by exact inverse-CDF sampling, which never drops a point (so
+            exact_num_points needs no extra attempts either).
 
     Returns:
         SampledPoints with ``valid`` marking accepted, in-budget points.
@@ -121,26 +154,21 @@ def sample_points(
         [in_budget[:1], g[1:] != g[:-1]]
     )
 
-    # Truncated-normal z via fixed-attempt resampling.  chi(3) tail beyond
-    # 2 std is ~26%, so 5 attempts leave ~0.1% of points unaccepted — the
-    # same drop the reference accepts after its 5 rounds.
+    # EXACT truncated-normal z, no rejection: the standard normal
+    # restricted to the Mahalanobis ball ||z|| <= std is spherically
+    # symmetric with radial density ~ r^2 exp(-r^2/2) (a truncated chi_3),
+    # so direction = one normal draw normalised and radius = the inverse
+    # chi_3 CDF of u * cdf(std) (Newton).  One PRNG pass replaces the
+    # reference's 5/100-attempt rejection rounds (gauss_to_pc.py:192-273)
+    # and, unlike them, never drops a point — every quota is met exactly.
     std = jnp.float32(mahalanobis_std)
-
-    def draw(k):
-        return jax.random.normal(k, (n_cap, 3), dtype=jnp.float32)
-
-    keys = jax.random.split(key, num_attempts)
-    z = draw(keys[0])
-    ok = jnp.sum(z * z, axis=-1) <= std * std
-
-    def body(i, carry):
-        z, ok = carry
-        z_new = draw(jax.random.fold_in(key, 1000 + i))
-        ok_new = jnp.sum(z_new * z_new, axis=-1) <= std * std
-        z = jnp.where(ok[:, None], z, z_new)
-        return z, ok | ok_new
-
-    z, ok = jax.lax.fori_loop(1, num_attempts, body, (z, ok))
+    kz, ku = jax.random.split(key)
+    zn = jax.random.normal(kz, (n_cap, 3), dtype=jnp.float32)
+    u = jax.random.uniform(ku, (n_cap,), dtype=jnp.float32)
+    r = _chi3_truncated_radius(u, std)
+    norm = jnp.sqrt(jnp.sum(zn * zn, axis=-1))
+    z = zn * (r / jnp.maximum(norm, 1e-12))[:, None]
+    ok = jnp.ones(n_cap, dtype=bool)
 
     # x = mean + R (exp(s) * z); centres use z = 0 exactly.  All per-
     # Gaussian attributes are packed into one row so the (N_cap,) map

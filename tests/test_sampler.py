@@ -147,3 +147,51 @@ class TestBinning:
 
     def test_small_input(self):
         assert calculate_bin_sizes(np.array([1, 1, 2])) == (1, 1)
+
+
+class TestExactTruncatedSampling:
+    """The rejection loop was replaced by exact inverse-CDF sampling; pin
+    (a) the radial law against the analytic truncated chi_3 CDF and
+    (b) the zero-rejection guarantee (every in-budget quota is met)."""
+
+    def test_radial_distribution_matches_truncated_chi3(self):
+        from gs2pc.ops.sampler import _chi3_cdf
+
+        std = 2.0
+        scene = make_synthetic_scene(
+            1, seed=0, scale_lo=0.0, scale_hi=0.0
+        )  # exp(0) = identity scales: z radius == point radius
+        n = 40_000
+        ppg = jnp.full(1, n + 1, jnp.int32)
+        out = sample_points(
+            jax.random.PRNGKey(3), scene, ppg, n_cap=n + 1,
+            mahalanobis_std=std,
+        )
+        pts = np.asarray(out.points)[np.asarray(out.valid)]
+        centre = np.asarray(scene.xyz)[0]
+        # rotation preserves radius; drop the centre point itself
+        rad = np.linalg.norm(pts - centre, axis=1)
+        rad = np.sort(rad[rad > 0])
+        assert rad.max() <= std * 1.0001
+        # empirical CDF vs analytic truncated chi3 (Kolmogorov distance)
+        analytic = np.asarray(
+            _chi3_cdf(jnp.asarray(rad, jnp.float32))
+        ) / float(_chi3_cdf(jnp.float32(std)))
+        emp = (np.arange(len(rad)) + 0.5) / len(rad)
+        ks = np.abs(analytic - emp).max()
+        assert ks < 0.02, f"KS distance {ks}"
+
+    def test_no_rejections_quotas_exact(self):
+        scene = make_synthetic_scene(64, seed=4)
+        ppg = jnp.asarray(
+            np.random.default_rng(0).integers(0, 40, 64), jnp.int32
+        )
+        total = int(ppg.sum())
+        out = sample_points(
+            jax.random.PRNGKey(1), scene, ppg, n_cap=total + 8,
+        )
+        assert int(np.asarray(out.valid).sum()) == total
+        counts = np.bincount(
+            np.asarray(out.gaussian_idx)[np.asarray(out.valid)], minlength=64
+        )
+        assert (counts == np.asarray(ppg)).all()
