@@ -21,7 +21,7 @@ from gs2pc.io.masks import load_image_masks
 from gs2pc.models.gaussians import Gaussians
 from gs2pc.ops.blend import FLOAT_MAX
 from gs2pc.ops.rasterize import TileConfig
-from gs2pc.ops.sampler import distribute_points, sample_points
+from gs2pc.ops.sampler import SampledPoints, distribute_points, sample_points
 from gs2pc.parallel.mesh import make_mesh
 from gs2pc.parallel.sweep import (
     SweepAccumulators,
@@ -141,14 +141,34 @@ def generate_point_cloud_data(
     settings: GaussPointCloudSettings,
     contributions: Optional[jnp.ndarray] = None,
     seed_offset: int = 0,
+    num_devices: int = 1,
 ) -> PointCloudData:
     """distribute -> sample -> host-compact (gauss_to_pc.py:277-371 role).
 
     ONE jitted call: magnitudes, keep_mask zeroing (masked Gaussians get a
     zero quota — byte-identical to sampling a compacted scene), budget
-    distribution, and the sampler itself."""
+    distribution, and the sampler itself.  With num_devices > 1 the
+    sampler's point axis is sharded over the mesh (the scene is
+    replicated; the per-slot draw/transform is embarrassingly parallel,
+    so XLA inserts no collectives)."""
     n_cap = int(num_points + max(4096, num_points // 20))
     attempts = 100 if settings.exact_num_points else 5
+
+    out_shardings = None
+    if num_devices > 1:
+        from gs2pc.parallel.mesh import make_mesh, points_sharding, replicated
+
+        mesh = make_mesh(num_devices)
+        pts_shard = points_sharding(mesh)
+        rep = replicated(mesh)
+        out_shardings = SampledPoints(
+            points=pts_shard,
+            colours=pts_shard,
+            normals=pts_shard if gaussians.normals is not None else None,
+            gaussian_idx=pts_shard,
+            valid=pts_shard,
+            total=rep,
+        )
 
     @jax.jit
     def sample_stage(k, g: Gaussians, contrib):
@@ -156,12 +176,21 @@ def generate_point_cloud_data(
         if g.keep_mask is not None:
             sizes = jnp.where(g.keep_mask, sizes, 0.0)
         ppg = distribute_points(sizes, num_points, mask=g.keep_mask)
-        return sample_points(
+        out = sample_points(
             k, g, ppg,
             n_cap=n_cap,
             mahalanobis_std=settings.mahalanobis_distance_std,
             num_attempts=attempts,
         )
+        if out_shardings is not None:
+            out = jax.tree.map(
+                lambda x, s: (
+                    x if x is None else jax.lax.with_sharding_constraint(x, s)
+                ),
+                out, out_shardings,
+                is_leaf=lambda x: x is None,
+            )
+        return out
 
     key = jax.random.PRNGKey(settings.seed + seed_offset)
     sampled = sample_stage(key, gaussians, contributions)
@@ -313,6 +342,7 @@ def convert_3dgs_to_pc(
             settings.num_points,
             settings,
             contributions=total_gaussian_contributions,
+            num_devices=num_devices,
         )
 
     surface_point_cloud = None
@@ -332,6 +362,7 @@ def convert_3dgs_to_pc(
                 settings,
                 contributions=total_gaussian_contributions,
                 seed_offset=1,
+                num_devices=num_devices,
             )
 
     return total_point_cloud, surface_point_cloud
