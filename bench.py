@@ -105,9 +105,12 @@ def main():
     # ONE fused jit: render sweep -> visibility-weighted budget -> sample.
     # Every extra output buffer of a dispatch costs a tunnel round trip on
     # the axon backend (~28 ms each, measured), so the whole device
-    # pipeline runs as a single call with three outputs.
+    # pipeline runs as a single call with three outputs.  Scene/camera
+    # arrays are ARGUMENTS, not closures — closed-over device arrays embed
+    # as HLO constants, and a 3M-Gaussian module then exceeds the remote
+    # compiler's request-size limit.
     @jax.jit
-    def pipeline(key):
+    def pipeline(key, arrays, cameras, scene):
         acc = render_sweep(
             arrays, cameras, cfg,
             calc_surface_distance=False, use_pallas=use_pallas,
@@ -120,13 +123,15 @@ def main():
     # Warmup / compile.  block_until_ready is NOT trustworthy through the
     # axon tunnel (it can return before execution finishes); fetching a
     # value is the only honest sync, so timings bracket a 1-element get.
-    pts, cols, valid = pipeline(jax.random.PRNGKey(0))
+    pts, cols, valid = pipeline(jax.random.PRNGKey(0), arrays, cameras, scene)
     np.asarray(pts[0, 0])
 
     elapsed = float("inf")
     for rep in range(1, 3):
         t0 = time.perf_counter()
-        pts, cols, valid = pipeline(jax.random.PRNGKey(rep))
+        pts, cols, valid = pipeline(
+            jax.random.PRNGKey(rep), arrays, cameras, scene
+        )
         np.asarray(pts[0, 0])
         elapsed = min(elapsed, time.perf_counter() - t0)
 

@@ -23,14 +23,24 @@ from gs2pc.ops.sampler import distribute_points, sample_points
 from gs2pc.parallel.sweep import render_sweep
 
 
+def _fetch(out):
+    # block_until_ready can return before execution finishes on the
+    # tunnelled backend; a 1-element value fetch is the honest sync.
+    import numpy as _np
+
+    leaves = [l for l in jax.tree.leaves(out) if hasattr(l, "ravel")]
+    if leaves:
+        _np.asarray(jax.device_get(leaves[0].ravel()[0:1]))
+
+
 def timed(fn, *args, reps=2):
     out = fn(*args)
-    jax.tree.map(lambda x: x.block_until_ready(), out)
+    _fetch(out)
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
         out = fn(*args)
-        jax.tree.map(lambda x: x.block_until_ready(), out)
+        _fetch(out)
         best = min(best, time.perf_counter() - t0)
     return best
 

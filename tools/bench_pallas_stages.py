@@ -24,14 +24,25 @@ from gs2pc.ops.projection import preprocess
 from gs2pc.ops.rasterize import TileConfig
 
 
+def _fetch(out):
+    # block_until_ready is NOT a reliable sync through the tunnelled
+    # backend (it can return before execution finishes); fetching a value
+    # is.  One element of one leaf forces the whole executable.
+    import numpy as _np
+
+    leaves = [l for l in jax.tree.leaves(out) if hasattr(l, "ravel")]
+    if leaves:
+        _np.asarray(jax.device_get(leaves[0].ravel()[0:1]))
+
+
 def timed(fn, *args, reps=3):
     out = fn(*args)
-    jax.tree.map(lambda x: x.block_until_ready(), out)
+    _fetch(out)
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
         out = fn(*args)
-        jax.tree.map(lambda x: x.block_until_ready(), out)
+        _fetch(out)
         best = min(best, time.perf_counter() - t0)
     return best, out
 
