@@ -158,9 +158,10 @@ def sample_points(
     # restricted to the Mahalanobis ball ||z|| <= std is spherically
     # symmetric with radial density ~ r^2 exp(-r^2/2) (a truncated chi_3),
     # so direction = one normal draw normalised and radius = the inverse
-    # chi_3 CDF of u * cdf(std) (Newton).  One PRNG pass replaces the
+    # chi_3 CDF of u * cdf(std) (bisection).  One PRNG pass replaces the
     # reference's 5/100-attempt rejection rounds (gauss_to_pc.py:192-273)
     # and, unlike them, never drops a point — every quota is met exactly.
+    del num_attempts  # rejection retries are gone; kept for API compat
     std = jnp.float32(mahalanobis_std)
     kz, ku = jax.random.split(key)
     zn = jax.random.normal(kz, (n_cap, 3), dtype=jnp.float32)
@@ -168,7 +169,6 @@ def sample_points(
     r = _chi3_truncated_radius(u, std)
     norm = jnp.sqrt(jnp.sum(zn * zn, axis=-1))
     z = zn * (r / jnp.maximum(norm, 1e-12))[:, None]
-    ok = jnp.ones(n_cap, dtype=bool)
 
     # x = mean + R (exp(s) * z); centres use z = 0 exactly.  All per-
     # Gaussian attributes are packed into one row so the (N_cap,) map
@@ -182,7 +182,7 @@ def sample_points(
     scales_g = jnp.exp(packed[:, 3:6])
     pts = xyz_g + quat_rotate(packed[:, 6:10], scales_g * z)
 
-    valid = in_budget & (ok | is_centre)
+    valid = in_budget
     normals = packed[:, 13:16] if gaussians.normals is not None else None
     return SampledPoints(
         points=pts,
