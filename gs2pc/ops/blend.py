@@ -30,7 +30,12 @@ FLOAT_MAX = jnp.finfo(jnp.float32).max
 
 
 class RenderOutput(NamedTuple):
-    """Per-camera render products (padded image dims)."""
+    """Per-camera render products (padded image dims).
+
+    ``trans`` and ``best_pix`` are populated only on request (the
+    Gaussian-axis sharded renderer needs the per-pixel transmittance map
+    for its cross-device prefix and the argmax pixel id to re-gather
+    colours from the globally composited image)."""
 
     image: jnp.ndarray  # (Hp, Wp, 3)
     depth: jnp.ndarray  # (Hp, Wp) expected depth
@@ -39,6 +44,8 @@ class RenderOutput(NamedTuple):
     contrib: jnp.ndarray  # (P,) per-image max contribution alpha*T
     best_colour: jnp.ndarray  # (P, 3) rendered colour at argmax pixel
     surf_dist: jnp.ndarray  # (P,) min |depth_g - expected_depth|, FLOAT_MAX if none
+    trans: jnp.ndarray | None = None  # (Hp, Wp) final per-pixel transmittance
+    best_pix: jnp.ndarray | None = None  # (P,) argmax flat pixel id
 
 
 class BlendCarry(NamedTuple):
@@ -49,9 +56,16 @@ class BlendCarry(NamedTuple):
     exp_invdepth: jnp.ndarray  # (..., Npx)
 
 
-def init_carry(shape_px: tuple, done0: jnp.ndarray) -> BlendCarry:
+def init_carry(
+    shape_px: tuple, done0: jnp.ndarray, t0: jnp.ndarray | None = None
+) -> BlendCarry:
+    """``t0`` seeds the per-pixel transmittance (default 1) — the
+    Gaussian-axis sharded renderer passes the product of all upstream
+    depth slabs so each slab composites with absolute weights."""
     return BlendCarry(
-        transmittance=jnp.ones(shape_px, jnp.float32),
+        transmittance=(
+            jnp.ones(shape_px, jnp.float32) if t0 is None else t0
+        ),
         done=done0,
         colour=jnp.zeros(shape_px + (3,), jnp.float32),
         exp_depth=jnp.zeros(shape_px, jnp.float32),
@@ -88,12 +102,18 @@ def blend_chunk(
     depth: jnp.ndarray,  # (..., C)
     alive: jnp.ndarray,  # (..., C) bool
     pair_mask: jnp.ndarray | None = None,  # (..., Npx, C) bool, optional
+    early_stop: bool = True,
 ):
     """Composite one depth-ordered chunk of Gaussians into a pixel block.
 
     Returns (new_carry, w) where w (..., Npx, C) is each Gaussian's
     contribution alpha*T at each pixel (zero where skipped) — callers
     reduce it for per-Gaussian max-contribution / argmax-pixel bookkeeping.
+
+    ``early_stop=False`` disables the T<1e-4 trigger so the carried
+    transmittance is the exact product of (1 - alpha) over every pair —
+    required by the Gaussian-axis sharded renderer, whose cross-device
+    prefix decomposition relies on the product being trigger-free.
     """
     d = px[..., :, None, :] - xy[..., None, :, :]  # (..., Npx, C, 2)
     dx, dy = d[..., 0], d[..., 1]
@@ -119,10 +139,13 @@ def blend_chunk(
     cp_excl = _scan_excl(1.0 - a0, 1.0, jnp.multiply)
     t_before = carry.transmittance[..., :, None] * cp_excl
 
-    trigger = contrib_ok & (t_before * (1.0 - alpha) < T_EPS)
-    seen = _scan_incl(trigger.astype(jnp.float32), 0.0, jnp.maximum) > 0.5
-    allowed = ~seen
-    a_used = a0 * allowed
+    if early_stop:
+        trigger = contrib_ok & (t_before * (1.0 - alpha) < T_EPS)
+        seen = _scan_incl(trigger.astype(jnp.float32), 0.0, jnp.maximum) > 0.5
+        a_used = a0 * ~seen
+    else:
+        trigger = jnp.zeros_like(contrib_ok)
+        a_used = a0
     w = a_used * t_before  # (..., Npx, C); zero wherever skipped
 
     # Elementwise multiply + lane reduction instead of einsum: an N=3 (or

@@ -227,8 +227,18 @@ def render_tile_camera(
     calc_surface_distance: bool = True,
     use_pallas: bool = False,
     pallas_interpret: bool = False,
+    init_trans: Optional[jnp.ndarray] = None,  # (Hp*Wp,) f32 initial T per px
+    early_stop: bool = True,
+    want_trans: bool = False,  # populate RenderOutput.trans
+    want_best_pix: bool = False,  # populate RenderOutput.best_pix
+    surface_ed_override: Optional[jnp.ndarray] = None,  # (Hp*Wp,) f32
 ) -> RenderOutput:
-    """Render one camera; returns image + per-Gaussian accumulator inputs."""
+    """Render one camera; returns image + per-Gaussian accumulator inputs.
+
+    The ``init_trans`` / ``early_stop`` / ``want_trans`` / ``best_pix`` /
+    ``surface_ed_override`` extensions serve the Gaussian-axis (depth-slab)
+    sharded renderer (gs2pc.parallel.gauss_shard) and are XLA-blend only.
+    """
     P = means.shape[0]
     prep = preprocess(
         means,
@@ -270,6 +280,17 @@ def render_tile_camera(
     NS = P * S  # slot-table size; slot NS is the dump cell for masked lanes
 
     if use_pallas:
+        if (
+            init_trans is not None
+            or not early_stop
+            or want_trans
+            or want_best_pix
+            or surface_ed_override is not None
+        ):
+            raise NotImplementedError(
+                "gauss-shard renderer extensions require the XLA blend "
+                "(use_pallas=False)"
+            )
         # Mosaic only exists on TPU; anywhere else the kernel runs in
         # interpret mode (slow, for tests / debugging).
         pallas_interpret = pallas_interpret or jax.default_backend() != "tpu"
@@ -346,7 +367,8 @@ def render_tile_camera(
             -(-jnp.max(count) // Rs), max_steps
         ).astype(jnp.int32)
         px, pixid, valid_px = tile_geometry(tids)
-        carry0 = init_carry((TB, tpx), done0=~valid_px)
+        t0 = None if init_trans is None else init_trans[pixid]
+        carry0 = init_carry((TB, tpx), done0=~valid_px, t0=t0)
 
         def cond(state):
             r, carry, _, _ = state
@@ -356,7 +378,10 @@ def render_tile_camera(
             r, carry, mtab, apixtab = state
             sid, in_run = gather_run(start, count, r)
             xy, conic, op, col, dep = chunk_tables(sid)
-            new_carry, w = blend_chunk(carry, px, xy, conic, op, col, dep, in_run)
+            new_carry, w = blend_chunk(
+                carry, px, xy, conic, op, col, dep, in_run,
+                early_stop=early_stop,
+            )
             m = jnp.max(w, axis=1)  # (TB, Rs)
             arg = jnp.argmax(w, axis=1).astype(jnp.int32)
             apix = jnp.take_along_axis(pixid, arg, axis=1)
@@ -377,9 +402,12 @@ def render_tile_camera(
         )
         tile_ed = jnp.where(valid_px, carry.exp_depth, 0.0)
         tile_einv = jnp.where(valid_px, carry.exp_invdepth, 0.0)
-        return (mtab, apixtab), (tile_col, tile_ed, tile_einv)
+        # Neutral (T=1) on invalid pixels so cross-device prefix products
+        # stay well-defined.
+        tile_T = jnp.where(valid_px, carry.transmittance, 1.0)
+        return (mtab, apixtab), (tile_col, tile_ed, tile_einv, tile_T)
 
-    (mtab, apixtab), (tiles_col, tiles_ed, tiles_einv) = jax.lax.scan(
+    (mtab, apixtab), (tiles_col, tiles_ed, tiles_einv, tiles_T) = jax.lax.scan(
         batch_step, (mtab0, apixtab0), jnp.arange(NB, dtype=jnp.int32)
     )
 
@@ -392,6 +420,7 @@ def render_tile_camera(
     tiles_col = unshuffle(tiles_col)
     tiles_ed = unshuffle(tiles_ed)
     tiles_einv = unshuffle(tiles_einv)
+    tiles_T = unshuffle(tiles_T) if want_trans else None
 
     # Tile-major -> row-major image assembly.
     def untile(t):  # t: (NTP, tpx[, 3])
@@ -404,15 +433,25 @@ def render_tile_camera(
     image = untile(tiles_col)
     ed = untile(tiles_ed)
     einv = untile(tiles_einv)
+    trans_map = untile(tiles_T) if want_trans else None
 
     # Per-Gaussian reductions (deterministic replacements for CUDA atomics):
     # every pair wrote its own unique (gaussian, slot) cell, so max/argmax
     # collapse to lane reductions over the S slots — no gathers, no
     # conflict-handling scatter-max.
-    contrib, best_colour = _slot_reduce(mtab, apixtab, image, P, S)
+    contrib, best_colour, best_pix = _slot_reduce(mtab, apixtab, image, P, S)
 
     if calc_surface_distance:
-        ed_tiles = tiles_ed.reshape(NTP, tpx)
+        if surface_ed_override is not None:
+            # Global expected-depth map (row-major (Hp*Wp,)) -> tile-major.
+            ov = surface_ed_override.reshape(cfg.height_pad, cfg.width_pad)
+            ov = ov.reshape(cfg.grid_h, cfg.tile, cfg.grid_w, cfg.tile)
+            ov = jnp.swapaxes(ov, 1, 2).reshape(cfg.num_tiles, tpx)
+            ed_tiles = jnp.zeros((NTP, tpx), jnp.float32).at[
+                : cfg.num_tiles
+            ].set(ov)
+        else:
+            ed_tiles = tiles_ed.reshape(NTP, tpx)
         sdtab0 = jnp.full(NS + 1, FLOAT_MAX, jnp.float32)
         depth_tbl = table[:, 9]  # 1-col gathers are far cheaper than rows
 
@@ -460,6 +499,8 @@ def render_tile_camera(
         contrib=contrib,
         best_colour=best_colour,
         surf_dist=surf,
+        trans=trans_map,
+        best_pix=best_pix if want_best_pix else None,
     )
 
 
@@ -474,11 +515,12 @@ def _slot_reduce(mtab, apixtab, image, P: int, S: int):
     apix = jnp.take_along_axis(
         apixtab[: P * S].reshape(P, S), kbest[:, None], axis=1
     )[:, 0]
+    apix = jnp.maximum(apix, 0)
     img_flat = image.reshape(-1, 3)
     best_colour = jnp.where(
-        (contrib > 0.0)[:, None], img_flat[jnp.maximum(apix, 0)], 0.0
+        (contrib > 0.0)[:, None], img_flat[apix], 0.0
     )
-    return contrib, best_colour
+    return contrib, best_colour, apix
 
 
 def _untile(t, cfg: TileConfig):  # (NTP, tpx[, k]) -> (Hp, Wp[, k])
@@ -566,7 +608,7 @@ def _finish_pallas(
             sdtab0,
         ),
     )
-    contrib, best_colour = _slot_reduce(mtab, apixtab, image, P, S)
+    contrib, best_colour, _ = _slot_reduce(mtab, apixtab, image, P, S)
 
     if calc_surface_distance:
         surf = jnp.min(sdtab[:NS].reshape(P, S), axis=1)

@@ -157,3 +157,105 @@ class TestSamplerSharding:
         pts, valid = jax.jit(f)(jax.random.PRNGKey(0))
         assert pts.sharding.is_equivalent_to(shard, pts.ndim)
         assert int(np.asarray(valid).sum()) > 7000
+
+
+class TestGaussShardedSweep:
+    """Depth-slab Gaussian-axis sharding (parallel/gauss_shard.py) must
+    match the single-device sweep: the alpha-compositing decomposition
+    (C1,T1)⊕(C2,T2)=(C1+T1·C2, T1·T2) is exact when no big-cap overflow
+    truncation differs, so tolerances here are f32-summation-order only
+    (colour gets slack for argmax-pixel ties at equal contributions)."""
+
+    def _setup(self):
+        scene = make_synthetic_scene(400, seed=31, spread=1.1,
+                                     scale_lo=-3.2, scale_hi=-1.4)
+        transforms, intr = {}, {}
+        for i in range(3):
+            c2w, intrinsic = look_at_camera(
+                angle=i * 1.7, width=64, height=48, focal=70.0
+            )
+            transforms[f"c{i}"] = c2w.tolist()
+            intr[f"c{i}"] = intrinsic
+        cams, wp, hp = build_camera_batch(transforms, intr)
+        arrays = (
+            scene.xyz,
+            scene.covariance_factors(),
+            scene.opacities * 0.9,
+            scene.colours,
+            jnp.ones(400, bool),
+        )
+        # big_cap = P: no overflow, so the decomposition is exact.
+        cfg = TileConfig(width_pad=wp, height_pad=hp, big_cap=400)
+        return arrays, cams, cfg
+
+    def test_matches_single_device(self):
+        from gs2pc.parallel.gauss_shard import (
+            make_gauss_mesh,
+            render_sweep_gauss_sharded,
+        )
+
+        arrays, cams, cfg = self._setup()
+        acc1 = render_sweep(arrays, cams, cfg, calc_surface_distance=True)
+        accN = render_sweep_gauss_sharded(
+            arrays, cams, cfg, make_gauss_mesh(8),
+            calc_surface_distance=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(accN.max_contribution),
+            np.asarray(acc1.max_contribution), atol=1e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(accN.total_contribution),
+            np.asarray(acc1.total_contribution), atol=1e-5,
+        )
+        a = np.asarray(acc1.min_surface_distance)
+        b = np.asarray(accN.min_surface_distance)
+        finite = (a < 3e38) & (b < 3e38)
+        assert (finite == ((a < 3e38) | (b < 3e38))).all()
+        np.testing.assert_allclose(b[finite], a[finite], atol=1e-4)
+        # colour: argmax-pixel ties at equal contribution may pick a
+        # different (equally valid) pixel; bound the fraction affected.
+        dc = np.abs(np.asarray(accN.colours) - np.asarray(acc1.colours))
+        assert (dc.max(axis=1) < 1e-3).mean() > 0.97
+        assert dc.max() < 0.2
+
+    def test_pipeline_gauss_axis(self, tmp_path):
+        """convert_3dgs_to_pc with --shard_axis gauss matches 1-device."""
+        import json
+
+        from gs2pc.io.splat import save_splat
+        from gs2pc.pipeline import convert_3dgs_to_pc
+        from gs2pc.utils.config import GaussPointCloudSettings, RenderConfig
+
+        scene = make_synthetic_scene(300, seed=32, spread=1.0,
+                                     scale_lo=-3.4, scale_hi=-1.6)
+        splat = str(tmp_path / "s.splat")
+        save_splat(splat, np.asarray(scene.xyz),
+                   np.asarray(scene.log_scales), np.asarray(scene.rots),
+                   np.asarray(scene.colours), np.asarray(scene.opacities))
+        frames = []
+        for i in range(3):
+            c2w, _ = look_at_camera(angle=i * 2.0, width=64, height=48,
+                                    focal=70.0)
+            frames.append({
+                "file_path": f"images/c{i}.png",
+                "transform_matrix": c2w.tolist(),
+                "w": 64, "h": 48, "fl_x": 70.0, "fl_y": 70.0,
+            })
+        tpath = str(tmp_path / "transforms.json")
+        json.dump({"frames": frames}, open(tpath, "w"))
+
+        settings = GaussPointCloudSettings(
+            num_points=5000, quiet=True, colour_resolution=None,
+            render=RenderConfig(use_pallas="off"),
+        )
+        total1, _ = convert_3dgs_to_pc(splat, tpath, None, settings)
+        totalG, _ = convert_3dgs_to_pc(
+            splat, tpath, None,
+            settings._replace(shard_axis="gauss"), num_devices=4,
+        )
+        assert total1.points.shape[0] > 0
+        # point sets match (same seed; colours may differ on tie pixels)
+        np.testing.assert_allclose(
+            totalG.points, total1.points, atol=1e-4,
+        )
