@@ -239,3 +239,106 @@ def render_sweep_gauss_sharded(
         return acc
 
     return sharded(scene_arrays, cams_nomask, masks)
+
+
+def make_2d_mesh(num_devices: int = 0, devices=None) -> Mesh:
+    """Near-square ("cams", "gauss") mesh: the largest divisor of D that
+    is <= sqrt(D) becomes the camera axis (cameras are usually the
+    scarcer resource; the Gaussian axis scales smoothly via slabs)."""
+    if devices is None:
+        devices = jax.devices()
+    if num_devices and num_devices > 0:
+        devices = devices[:num_devices]
+    d = len(devices)
+    cams_dev = 1
+    for c in range(int(np.sqrt(d)), 0, -1):
+        if d % c == 0:
+            cams_dev = c
+            break
+    from gs2pc.parallel.mesh import CAM_AXIS
+
+    return Mesh(
+        np.asarray(devices).reshape(cams_dev, d // cams_dev),
+        (CAM_AXIS, GAUSS_AXIS),
+    )
+
+
+def render_sweep_2d(
+    scene_arrays,
+    cameras: CameraBatch,
+    cfg: TileConfig,
+    mesh: Mesh,
+    white_bkgd: bool = True,
+    antialiasing: bool = False,
+    calc_surface_distance: bool = True,
+) -> SweepAccumulators:
+    """Camera-DP x Gaussian-slab 2-D sharded sweep.
+
+    Cameras split over the "cams" mesh axis; within each camera the
+    Gaussian depth slabs split over "gauss" (see
+    render_sweep_gauss_sharded).  Per-camera combines ride the gauss
+    axis; the cross-camera accumulator combines (psum / pmin /
+    all_gather-argmax, mirroring parallel/sweep.py) ride the cams axis.
+    """
+    from gs2pc.parallel.mesh import CAM_AXIS
+    from gs2pc.parallel.sweep import pad_cameras
+
+    n_gauss_dev = mesh.shape[GAUSS_AXIS]
+    n_cam_dev = mesh.shape[CAM_AXIS]
+    p_num = scene_arrays[0].shape[0]
+    cameras = pad_cameras(cameras, n_cam_dev)
+
+    has_mask = cameras.mask is not None
+    cams_nomask = CameraBatch(
+        viewmatrix=cameras.viewmatrix,
+        projmatrix=cameras.projmatrix,
+        campos=cameras.campos,
+        tanfovx=cameras.tanfovx,
+        tanfovy=cameras.tanfovy,
+        focal_x=cameras.focal_x,
+        focal_y=cameras.focal_y,
+        width=cameras.width,
+        height=cameras.height,
+        mask=None,
+    )
+    masks = cameras.mask if has_mask else jnp.zeros(
+        (cameras.num_cameras, 1), jnp.uint8
+    )
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(
+            jax.tree.map(lambda _: P(), scene_arrays),
+            jax.tree.map(lambda _: P(CAM_AXIS), cams_nomask),
+            P(CAM_AXIS),
+        ),
+        out_specs=jax.tree.map(lambda _: P(), init_accumulators(1)),
+        check_vma=False,
+    )
+    def sharded(scene_local, cams_local, masks_local):
+        d = jax.lax.axis_index(GAUSS_AXIS)
+        acc0 = init_accumulators(p_num)
+
+        def step(acc, cam_slice):
+            cam, m = cam_slice
+            out = _render_one_gauss_sharded(
+                scene_local, cam, m if has_mask else None,
+                d, n_gauss_dev, cfg, white_bkgd, antialiasing,
+                calc_surface_distance,
+            )
+            return update_accumulators(acc, out), None
+
+        acc, _ = jax.lax.scan(step, acc0, (cams_local, masks_local))
+
+        # Cross-camera combine over the "cams" axis (sweep.py semantics).
+        total = jax.lax.psum(acc.total_contribution, CAM_AXIS)
+        sd = jax.lax.pmin(acc.min_surface_distance, CAM_AXIS)
+        gmax_all = jax.lax.all_gather(acc.max_contribution, CAM_AXIS)
+        gcol_all = jax.lax.all_gather(acc.colours, CAM_AXIS)
+        winner = jnp.argmax(gmax_all, axis=0)
+        gmax = jnp.max(gmax_all, axis=0)
+        gcol = jnp.take_along_axis(gcol_all, winner[None, :, None], axis=0)[0]
+        return SweepAccumulators(gmax, gcol, total, sd)
+
+    return sharded(scene_arrays, cams_nomask, masks)

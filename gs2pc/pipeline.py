@@ -93,22 +93,34 @@ def run_render_sweep(
         p_pad = arrays[0].shape[0]
         shs = gaussians.pad_to(p_pad).shs
 
-    if num_devices > 1 and settings.shard_axis == "gauss":
+    if num_devices > 1 and settings.shard_axis in ("gauss", "both"):
         from gs2pc.parallel.gauss_shard import (
+            make_2d_mesh,
             make_gauss_mesh,
+            render_sweep_2d,
             render_sweep_gauss_sharded,
         )
 
         if settings.renderer_type != "tile":
-            raise ValueError("--shard_axis gauss requires the tile renderer")
+            raise ValueError(
+                f"--shard_axis {settings.shard_axis} requires the tile "
+                "renderer"
+            )
         if shs is not None:
             raise ValueError(
-                "--shard_axis gauss does not support --sh_colour_eval yet"
+                f"--shard_axis {settings.shard_axis} does not support "
+                "--sh_colour_eval yet"
             )
-        acc = render_sweep_gauss_sharded(
-            arrays, cameras, cfg, make_gauss_mesh(num_devices),
-            calc_surface_distance=calc_surface,
-        )
+        if settings.shard_axis == "both":
+            acc = render_sweep_2d(
+                arrays, cameras, cfg, make_2d_mesh(num_devices),
+                calc_surface_distance=calc_surface,
+            )
+        else:
+            acc = render_sweep_gauss_sharded(
+                arrays, cameras, cfg, make_gauss_mesh(num_devices),
+                calc_surface_distance=calc_surface,
+            )
     elif num_devices > 1:
         mesh = make_mesh(num_devices)
         acc = render_sweep_sharded(

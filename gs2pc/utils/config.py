@@ -66,7 +66,7 @@ class GaussPointCloudSettings(NamedTuple):
     sh_colour_eval: bool = False  # full view-dependent SH during the sweep
     save_sweep: Optional[str] = None  # checkpoint accumulators after sweep
     load_sweep: Optional[str] = None  # resume accumulators, skip the sweep
-    shard_axis: str = "cams"  # "cams" (camera DP) | "gauss" (depth slabs)
+    shard_axis: str = "cams"  # "cams" | "gauss" (depth slabs) | "both" (2-D)
     render: RenderConfig = RenderConfig()
 
 
@@ -153,7 +153,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--save_sweep", type=str, default=None, help="Save per-Gaussian sweep accumulators (colours/contributions/surface distances) to this .npz for later reuse")
     p.add_argument("--load_sweep", type=str, default=None, help="Load sweep accumulators from this .npz instead of re-rendering all cameras")
     p.add_argument("--pallas", type=str, default="auto", choices=["auto", "on", "off"], help="Use the hand-written Pallas TPU blend kernel ('auto' enables it on TPU backends)")
-    p.add_argument("--shard_axis", type=str, default="cams", choices=["cams", "gauss"], help="Multi-device sharding axis for the render sweep: 'cams' = camera data parallel, 'gauss' = depth-slab Gaussian parallel (XLA blend only)")
+    p.add_argument("--shard_axis", type=str, default="cams", choices=["cams", "gauss", "both"], help="Multi-device sharding axis for the render sweep: 'cams' = camera data parallel, 'gauss' = depth-slab Gaussian parallel, 'both' = near-square 2-D (cams x gauss) mesh ('gauss'/'both' use the XLA blend)")
     p.add_argument("--profile_dir", type=str, default=None, help="Write a jax.profiler trace of the conversion to this directory (view with TensorBoard/XProf)")
     return p
 

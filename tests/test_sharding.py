@@ -259,3 +259,45 @@ class TestGaussShardedSweep:
         np.testing.assert_allclose(
             totalG.points, total1.points, atol=1e-4,
         )
+
+
+class Test2DMeshSweep:
+    def test_matches_single_device(self):
+        from gs2pc.parallel.gauss_shard import make_2d_mesh, render_sweep_2d
+
+        scene = make_synthetic_scene(400, seed=31, spread=1.1,
+                                     scale_lo=-3.2, scale_hi=-1.4)
+        transforms, intr = {}, {}
+        for i in range(3):
+            c2w, intrinsic = look_at_camera(
+                angle=i * 1.7, width=64, height=48, focal=70.0
+            )
+            transforms[f"c{i}"] = c2w.tolist()
+            intr[f"c{i}"] = intrinsic
+        cams, wp, hp = build_camera_batch(transforms, intr)
+        arrays = (
+            scene.xyz, scene.covariance_factors(), scene.opacities * 0.9,
+            scene.colours, jnp.ones(400, bool),
+        )
+        cfg = TileConfig(width_pad=wp, height_pad=hp, big_cap=400)
+
+        mesh = make_2d_mesh(8)
+        assert dict(mesh.shape) == {"cams": 2, "gauss": 4}
+        acc1 = render_sweep(arrays, cams, cfg, calc_surface_distance=True)
+        accN = render_sweep_2d(
+            arrays, cams, cfg, mesh, calc_surface_distance=True
+        )
+        np.testing.assert_allclose(
+            np.asarray(accN.max_contribution),
+            np.asarray(acc1.max_contribution), atol=1e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(accN.total_contribution),
+            np.asarray(acc1.total_contribution), atol=1e-5,
+        )
+        a = np.asarray(acc1.min_surface_distance)
+        b = np.asarray(accN.min_surface_distance)
+        finite = (a < 3e38) & (b < 3e38)
+        np.testing.assert_allclose(b[finite], a[finite], atol=1e-4)
+        dc = np.abs(np.asarray(accN.colours) - np.asarray(acc1.colours))
+        assert (dc.max(axis=1) < 1e-3).mean() > 0.97
