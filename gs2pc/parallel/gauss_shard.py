@@ -32,10 +32,15 @@ Per camera, on device d of D (scene replicated):
     ``psum``'d (each Gaussian lives in exactly one slab, so exactly one
     device contributes a non-zero row).
 
-Known divergence vs the single-device renderer (documented, tested):
-the background term on early-stopped pixels uses the trigger-free
+Known divergences vs the single-device renderer (documented, tested):
+(a) the background term on early-stopped pixels uses the trigger-free
 transmittance product, which differs from the stopped value by less
-than T_EPS = 1e-4.  Everything else matches to f32 summation order.
+than T_EPS = 1e-4; (b) the per-tile ``run_cap`` truncation applies per
+SLAB, so a tile that saturates the cap blends up to D x run_cap pairs —
+strictly MORE of the scene than the single-device truncation keeps
+(closer to the uncapped exact result, not bit-equal to one device);
+(c) big_cap window-overflow truncation is likewise per-slab.  Away from
+those caps everything matches to f32 summation order.
 
 Scaling note (v1): preprocessing and pair expansion still run over the
 full replicated Gaussian axis on every device — only the blend work
@@ -45,6 +50,7 @@ expansion is the follow-up if P-scaling ever dominates.
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 
 import jax
@@ -195,18 +201,7 @@ def render_sweep_gauss_sharded(
     p_num = scene_arrays[0].shape[0]
 
     has_mask = cameras.mask is not None
-    cams_nomask = CameraBatch(
-        viewmatrix=cameras.viewmatrix,
-        projmatrix=cameras.projmatrix,
-        campos=cameras.campos,
-        tanfovx=cameras.tanfovx,
-        tanfovy=cameras.tanfovy,
-        focal_x=cameras.focal_x,
-        focal_y=cameras.focal_y,
-        width=cameras.width,
-        height=cameras.height,
-        mask=None,
-    )
+    cams_nomask = dataclasses.replace(cameras, mask=None)
     masks = cameras.mask if has_mask else jnp.zeros(
         (cameras.num_cameras, 1), jnp.uint8
     )
@@ -289,18 +284,7 @@ def render_sweep_2d(
     cameras = pad_cameras(cameras, n_cam_dev)
 
     has_mask = cameras.mask is not None
-    cams_nomask = CameraBatch(
-        viewmatrix=cameras.viewmatrix,
-        projmatrix=cameras.projmatrix,
-        campos=cameras.campos,
-        tanfovx=cameras.tanfovx,
-        tanfovy=cameras.tanfovy,
-        focal_x=cameras.focal_x,
-        focal_y=cameras.focal_y,
-        width=cameras.width,
-        height=cameras.height,
-        mask=None,
-    )
+    cams_nomask = dataclasses.replace(cameras, mask=None)
     masks = cameras.mask if has_mask else jnp.zeros(
         (cameras.num_cameras, 1), jnp.uint8
     )

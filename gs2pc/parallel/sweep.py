@@ -17,6 +17,7 @@ the reference's (nonexistent) multi-device story.
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 from typing import NamedTuple
 
@@ -134,18 +135,7 @@ def render_sweep(
         )
         return update_accumulators(acc, out), None
 
-    cams_nomask = CameraBatch(
-        viewmatrix=cameras.viewmatrix,
-        projmatrix=cameras.projmatrix,
-        campos=cameras.campos,
-        tanfovx=cameras.tanfovx,
-        tanfovy=cameras.tanfovy,
-        focal_x=cameras.focal_x,
-        focal_y=cameras.focal_y,
-        width=cameras.width,
-        height=cameras.height,
-        mask=None,
-    )
+    cams_nomask = dataclasses.replace(cameras, mask=None)
     masks = cameras.mask if has_mask else jnp.zeros(
         (cameras.num_cameras, 1), jnp.uint8
     )

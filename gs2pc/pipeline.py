@@ -93,6 +93,11 @@ def run_render_sweep(
         p_pad = arrays[0].shape[0]
         shs = gaussians.pad_to(p_pad).shs
 
+    if settings.shard_axis != "cams" and num_devices <= 1:
+        raise ValueError(
+            f"--shard_axis {settings.shard_axis} needs --num_devices > 1 "
+            "(it would otherwise be silently ignored)"
+        )
     if num_devices > 1 and settings.shard_axis in ("gauss", "both"):
         from gs2pc.parallel.gauss_shard import (
             make_2d_mesh,

@@ -28,3 +28,18 @@ def honour_platform_env() -> None:
         jax.config.update("jax_platforms", want)
     except Exception:
         pass
+
+
+def fetch_sync(out) -> None:
+    """Honest device sync: fetch one element of one output leaf.
+
+    ``block_until_ready()`` can return before execution finishes on
+    tunnelled backends; a value fetch is the only reliable barrier.
+    One element of one leaf forces the whole executable that produced
+    the outputs."""
+    import jax
+    import numpy as np
+
+    leaves = [l for l in jax.tree.leaves(out) if hasattr(l, "ravel")]
+    if leaves:
+        np.asarray(jax.device_get(leaves[0].ravel()[0:1]))

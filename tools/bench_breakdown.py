@@ -16,21 +16,13 @@ import jax.numpy as jnp
 
 import bench
 from gs2pc.ops import rasterize
-from gs2pc.ops.blend import FLOAT_MAX
 from gs2pc.ops.projection import preprocess
 from gs2pc.ops.rasterize import TileConfig
 from gs2pc.ops.sampler import distribute_points, sample_points
 from gs2pc.parallel.sweep import render_sweep
 
 
-def _fetch(out):
-    # block_until_ready can return before execution finishes on the
-    # tunnelled backend; a 1-element value fetch is the honest sync.
-    import numpy as _np
-
-    leaves = [l for l in jax.tree.leaves(out) if hasattr(l, "ravel")]
-    if leaves:
-        _np.asarray(jax.device_get(leaves[0].ravel()[0:1]))
+from gs2pc.utils.platform import fetch_sync as _fetch
 
 
 def timed(fn, *args, reps=2):

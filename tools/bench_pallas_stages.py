@@ -18,21 +18,12 @@ import jax.numpy as jnp
 
 import bench
 from gs2pc.ops import rasterize
-from gs2pc.ops.blend import FLOAT_MAX
 from gs2pc.ops.pallas_blend import build_aligned_pairs
 from gs2pc.ops.projection import preprocess
 from gs2pc.ops.rasterize import TileConfig
 
 
-def _fetch(out):
-    # block_until_ready is NOT a reliable sync through the tunnelled
-    # backend (it can return before execution finishes); fetching a value
-    # is.  One element of one leaf forces the whole executable.
-    import numpy as _np
-
-    leaves = [l for l in jax.tree.leaves(out) if hasattr(l, "ravel")]
-    if leaves:
-        _np.asarray(jax.device_get(leaves[0].ravel()[0:1]))
+from gs2pc.utils.platform import fetch_sync as _fetch
 
 
 def timed(fn, *args, reps=3):
