@@ -304,3 +304,33 @@ class TestTinyScene:
         )
         assert float(out.contrib.min()) > 0.3
         assert np.asarray(out.image).max() <= 1.0 + 1e-5
+
+
+def test_large_grid_1080p_geometry():
+    """Exercise the 1080p tile grid (120x68 = 8160 tiles): key packing,
+    padded tile batches, and windowed builds must hold beyond the small
+    test grids."""
+    import jax.numpy as jnp
+
+    from gs2pc.ops.rasterize import TileConfig, render_tile_camera
+    from tests.conftest import make_synthetic_scene
+
+    scene = make_synthetic_scene(256, seed=51, spread=1.0,
+                                 scale_lo=-3.0, scale_hi=-1.5)
+    c2w, _ = look_at_camera(angle=0.7, width=1920, height=1080, focal=1500.0)
+    from gs2pc.camera import build_camera_batch
+
+    cams, wp, hp = build_camera_batch(
+        {"c0": c2w.tolist()}, {"c0": (1920, 1080, 1500.0, 1500.0)}
+    )
+    cfg = TileConfig(width_pad=wp, height_pad=hp)
+    out = render_tile_camera(
+        scene.xyz, scene.covariance_factors(), scene.opacities,
+        scene.colours, jnp.ones(256, bool), cams.at(0), cfg,
+        calc_surface_distance=False,
+    )
+    img = np.asarray(out.image)
+    assert img.shape == (hp, wp, 3)
+    assert np.isfinite(img).all()
+    # white background everywhere off-splat, some splats rendered
+    assert (np.asarray(out.contrib) > 0).sum() > 50

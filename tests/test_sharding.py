@@ -301,3 +301,48 @@ class Test2DMeshSweep:
         np.testing.assert_allclose(b[finite], a[finite], atol=1e-4)
         dc = np.abs(np.asarray(accN.colours) - np.asarray(acc1.colours))
         assert (dc.max(axis=1) < 1e-3).mean() > 0.97
+
+
+class TestGaussShardMasks:
+    def test_mask_interaction_matches_single_device(self):
+        """Pixel masks must compose with the slab decomposition: masked
+        pixels are invalid in every slab and report neutral T=1."""
+        from gs2pc.parallel.gauss_shard import (
+            make_gauss_mesh,
+            render_sweep_gauss_sharded,
+        )
+
+        scene = make_synthetic_scene(200, seed=41, spread=1.0,
+                                     scale_lo=-3.2, scale_hi=-1.6)
+        transforms, intr = {}, {}
+        for i in range(2):
+            c2w, intrinsic = look_at_camera(
+                angle=i * 2.1, width=48, height=48, focal=55.0
+            )
+            transforms[f"c{i}"] = c2w.tolist()
+            intr[f"c{i}"] = intrinsic
+        rng = np.random.default_rng(0)
+        masks = {
+            f"c{i}": (rng.uniform(size=(48, 48)) > 0.4).astype(np.uint8)
+            for i in range(2)
+        }
+        cams, wp, hp = build_camera_batch(transforms, intr, masks=masks)
+        arrays = (
+            scene.xyz, scene.covariance_factors(), scene.opacities * 0.9,
+            scene.colours, jnp.ones(200, bool),
+        )
+        cfg = TileConfig(width_pad=wp, height_pad=hp, big_cap=200)
+        acc1 = render_sweep(arrays, cams, cfg, calc_surface_distance=True)
+        accN = render_sweep_gauss_sharded(
+            arrays, cams, cfg, make_gauss_mesh(8),
+            calc_surface_distance=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(accN.max_contribution),
+            np.asarray(acc1.max_contribution), atol=1e-5,
+        )
+        a = np.asarray(acc1.min_surface_distance)
+        b = np.asarray(accN.min_surface_distance)
+        finite = (a < 3e38) & (b < 3e38)
+        assert (finite == ((a < 3e38) | (b < 3e38))).all()
+        np.testing.assert_allclose(b[finite], a[finite], atol=1e-4)
