@@ -46,6 +46,10 @@ class RenderOutput(NamedTuple):
     surf_dist: jnp.ndarray  # (P,) min |depth_g - expected_depth|, FLOAT_MAX if none
     trans: jnp.ndarray | None = None  # (Hp, Wp) final per-pixel transmittance
     best_pix: jnp.ndarray | None = None  # (P,) argmax flat pixel id
+    # (3,) f32 truncation counters [pairs blended, window-truncated
+    # candidates, run-cap-dropped pairs]; None from renderers that never
+    # truncate (the dense oracle).
+    n_dropped: jnp.ndarray | None = None
 
 
 class BlendCarry(NamedTuple):

@@ -227,11 +227,14 @@ def _blend_kernel(
     # inputs
     pair_tab_ref,  # (16, L_al) f32 in HBM
     mask_ref,  # (TPP, TPX, 1) float32 tile mask block in VMEM
+    t0_ref,  # (TPP, TPX, 1) f32 initial per-pixel transmittance block
+    edov_ref,  # (TPP, TPX, 1) f32 expected-depth override block
     ma_in_ref,  # (2, L_al) f32 in HBM — zero-init, ALIASED to ma_ref
     # outputs
     rgb_ref,  # (TPP, TPX, 3) f32
     ed_ref,  # (TPP, TPX, 1) f32
     einv_ref,  # (TPP, TPX, 1) f32
+    tout_ref,  # (TPP, TPX, 1) f32 final per-pixel transmittance
     ma_ref,  # (2, L_al) f32 in HBM: row 0 = max contribution, row 1 = bitcast argmax pixel
     sd_ref,  # (1, L_al) f32 in HBM: per-pair min surface distance (if with_surface)
     # scratch
@@ -254,6 +257,9 @@ def _blend_kernel(
     max_steps: int,
     tpp: int,
     with_surface: bool,
+    early_stop: bool,
+    use_init_trans: bool,
+    use_ed_override: bool,
 ):
     width = dims_ref[0]
     height = dims_ref[1]
@@ -299,7 +305,12 @@ def _blend_kernel(
         )
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, rs), 1)
 
-        t_ref[:] = jnp.ones((TPX, rs), jnp.float32)
+        if use_init_trans:
+            # Seed the per-pixel transmittance from the upstream depth
+            # slabs' product (gauss-axis sharded renderer, pass 2).
+            t_ref[:] = t0_ref[k] * jnp.ones((TPX, rs), jnp.float32)
+        else:
+            t_ref[:] = jnp.ones((TPX, rs), jnp.float32)
         done_ref[:] = done0
         zeros_full = jnp.zeros((TPX, rs), jnp.float32)
         accr_ref[:] = zeros_full
@@ -371,8 +382,15 @@ def _blend_kernel(
                 1.0 - a0, jnp.float32(1.0), jax.lax.mul, rs
             )
             t_before = T * cp_excl  # (TPX, Rs)
-            trigger = ok & (t_before * (1.0 - alpha) < T_EPS)
-            anytrig = jnp.max(jnp.where(trigger, 1.0, 0.0))
+            if early_stop:
+                trigger = ok & (t_before * (1.0 - alpha) < T_EPS)
+                anytrig = jnp.max(jnp.where(trigger, 1.0, 0.0))
+            else:
+                # Trigger-free mode (gauss-shard pass 1): the carried T must
+                # be the exact product over every pair, so the T_EPS stop
+                # never fires and the fast path is statically selected.
+                trigger = jnp.zeros_like(ok)
+                anytrig = jnp.float32(0.0)
 
             def fast(_):
                 # No trigger in this chunk: every ok pair contributes and
@@ -412,7 +430,10 @@ def _blend_kernel(
                 )
                 return w, t_new, done_new
 
-            w, t_new, done_new = jax.lax.cond(anytrig > 0.0, slow, fast, 0)
+            if early_stop:
+                w, t_new, done_new = jax.lax.cond(anytrig > 0.0, slow, fast, 0)
+            else:
+                w, t_new, done_new = fast(0)
             t_ref[:] = t_new
             done_ref[:] = done_new
 
@@ -478,6 +499,9 @@ def _blend_kernel(
         rgb_ref[k] = rgb
         ed_ref[k] = jnp.where(valid_px, ed, 0.0)
         einv_ref[k] = jnp.where(valid_px, einv, 0.0)
+        # Final transmittance map (neutral 1 on invalid pixels so the
+        # gauss-shard cross-device prefix products stay well-defined).
+        tout_ref[k] = jnp.where(valid_px, T, 1.0)
 
         if with_surface:
             # Second cheap chunk loop: min over tile pixels of
@@ -488,6 +512,10 @@ def _blend_kernel(
             # occupied aligned slot is written (the post pass reads the
             # whole prefix).
             big = jnp.float32(3.4028235e38)
+            # The distance target: this tile's blended expected depth, or
+            # the externally supplied (globally combined) map when the
+            # gauss-shard renderer re-runs the surface pass (pass 3).
+            ed_target = edov_ref[k] if use_ed_override else ed
 
             def sd_dma(slot, r):
                 off = pl.multiple_of(start + r * rs, rs)
@@ -513,7 +541,7 @@ def _blend_kernel(
 
                 in_dma(slot, r).wait()
                 dep = buf_ref[slot, 9:10, :]  # (1, Rs)
-                dist = jnp.abs(dep - ed)  # (TPX, Rs), two-way broadcast
+                dist = jnp.abs(dep - ed_target)  # (TPX, Rs), two-way broadcast
                 dist = jnp.where(valid_full, dist, big)
                 s_in_run = (r * rs + lane) < count
                 sd = jnp.min(dist, axis=0, keepdims=True)  # (1, Rs)
@@ -557,9 +585,12 @@ def pallas_blend(
     run_cap_hint: int = 1 << 16,
     with_surface: bool = False,
     interpret: bool = False,
+    init_trans_tiles: jnp.ndarray | None = None,  # (NTP, TPX) f32
+    ed_override_tiles: jnp.ndarray | None = None,  # (NTP, TPX) f32
+    early_stop: bool = True,
 ):
     """Returns (tile_rgb (NTP,TPX,3), ed (NTP,TPX), einv (NTP,TPX),
-    m (L_al,), apix (L_al,), sd (L_al,) or None)."""
+    trans (NTP,TPX), m (L_al,), apix (L_al,), sd (L_al,) or None)."""
     L_al = pairs.pair_tab.shape[1]
     NTP = num_tiles_pad
     rs = run_chunk
@@ -587,7 +618,17 @@ def pallas_blend(
         _blend_kernel, grid_w=grid_w, width_pad=width_pad, rs=rs,
         max_steps=max(-(-run_cap_hint // rs), 1), tpp=tpp,
         with_surface=with_surface,
+        early_stop=early_stop,
+        use_init_trans=init_trans_tiles is not None,
+        use_ed_override=ed_override_tiles is not None,
     )
+
+    # Unused optional blocks are fed as cheap dummies: the block DMA per
+    # program is ~tpp*256*4 bytes, noise next to the pair streams.
+    if init_trans_tiles is None:
+        init_trans_tiles = jnp.ones((NTP, TPX), jnp.float32)
+    if ed_override_tiles is None:
+        ed_override_tiles = jnp.zeros((NTP, TPX), jnp.float32)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -595,12 +636,15 @@ def pallas_blend(
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),  # pair_tab stays in HBM
             pl.BlockSpec((tpp, TPX, 1), lambda p, *_: (p, 0, 0)),  # masks
+            pl.BlockSpec((tpp, TPX, 1), lambda p, *_: (p, 0, 0)),  # t0
+            pl.BlockSpec((tpp, TPX, 1), lambda p, *_: (p, 0, 0)),  # ed ovr
             pl.BlockSpec(memory_space=pltpu.HBM),  # ma zero-init (aliased)
         ],
         out_specs=[
             pl.BlockSpec((tpp, TPX, 3), lambda p, *_: (p, 0, 0)),
             pl.BlockSpec((tpp, TPX, 1), lambda p, *_: (p, 0, 0)),
             pl.BlockSpec((tpp, TPX, 1), lambda p, *_: (p, 0, 0)),
+            pl.BlockSpec((tpp, TPX, 1), lambda p, *_: (p, 0, 0)),  # trans
             pl.BlockSpec(memory_space=pltpu.HBM),  # packed m/apix (HBM)
             pl.BlockSpec(memory_space=pltpu.HBM),  # sd (HBM; dummy if unused)
         ],
@@ -624,20 +668,22 @@ def pallas_blend(
         jax.ShapeDtypeStruct((NTP, TPX, 3), jnp.float32),
         jax.ShapeDtypeStruct((NTP, TPX, 1), jnp.float32),
         jax.ShapeDtypeStruct((NTP, TPX, 1), jnp.float32),
+        jax.ShapeDtypeStruct((NTP, TPX, 1), jnp.float32),
         jax.ShapeDtypeStruct((2, L_al), jnp.float32),
         jax.ShapeDtypeStruct((1, L_al if with_surface else rs), jnp.float32),
     ]
 
     ma_init = jnp.zeros((2, L_al), jnp.float32)
 
-    rgb, ed, einv, ma, sd = pl.pallas_call(
+    rgb, ed, einv, trans, ma, sd = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,
-        # Inputs are [starts, counts, dims, pair_tab, mask, ma_init];
-        # aliasing ma_init -> ma zero-fills slots the early exit skips.
-        input_output_aliases={5: 3},
+        # Inputs are [starts, counts, dims, pair_tab, mask, t0, edov,
+        # ma_init]; aliasing ma_init -> ma zero-fills slots the early exit
+        # skips.
+        input_output_aliases={7: 4},
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True,
             vmem_limit_bytes=64 * 1024 * 1024,
@@ -648,9 +694,11 @@ def pallas_blend(
         dims,
         pairs.pair_tab,
         mask_tiles[:, :, None].astype(jnp.float32),
+        init_trans_tiles[:, :, None].astype(jnp.float32),
+        ed_override_tiles[:, :, None].astype(jnp.float32),
         ma_init,
     )
     m = ma[0]
     apix = jax.lax.bitcast_convert_type(ma[1], jnp.int32)
     sd_out = sd[0] if with_surface else None
-    return rgb, ed[:, :, 0], einv[:, :, 0], m, apix, sd_out
+    return rgb, ed[:, :, 0], einv[:, :, 0], trans[:, :, 0], m, apix, sd_out

@@ -27,7 +27,10 @@ class Preprocessed(NamedTuple):
     conic: jnp.ndarray  # (P, 3) inverse 2D covariance (A, B, C)
     opacity: jnp.ndarray  # effective opacity (incl. antialias scaling)
     radius: jnp.ndarray  # (P,) rect radius: ceil(min(3 sigma, r_alpha))
-    r_alpha_sq: jnp.ndarray  # (P,) squared alpha-cutoff radius (exact cull)
+    r_alpha_sq: jnp.ndarray  # (P,) squared CULL radius (big in full-rect mode)
+    radius_q: jnp.ndarray  # (P,) quality radius ceil(min(3 sigma, r_alpha)):
+    # the reach within which alpha can exceed 1/255 — truncation beyond it
+    # cannot change the blend, only surface-distance coverage
     rect_min: jnp.ndarray  # (P, 2) int32 tile-coords inclusive min (x, y)
     rect_max: jnp.ndarray  # (P, 2) int32 tile-coords exclusive max (x, y)
     tiles_touched: jnp.ndarray  # (P,) int32
@@ -54,6 +57,7 @@ def preprocess(
     height,
     tile: int = 16,
     antialiasing: bool = False,
+    adaptive_radius: bool = True,
 ) -> Preprocessed:
     """Project P Gaussians for one camera.
 
@@ -66,6 +70,13 @@ def preprocess(
         projmatrix: (4, 4) full projection (P_gl @ V).
         width / height: dynamic true image dims (traced scalars ok).
         tile: pixel tile edge (static).
+        adaptive_radius: shrink the rect/cull radius to the alpha-cutoff
+            radius (AdR).  EXACT for blending (alpha < 1/255 pairs are
+            skipped by the blend anyway) but NOT for surface distances —
+            the reference's surface pass measures |depth - expected_depth|
+            over the full 3-sigma rect with no alpha involvement
+            (forward.cu:460-477) — so callers computing surface distances
+            must pass False.
     """
     # --- view / clip transforms -------------------------------------- #
     Rv = viewmatrix[:3, :3]
@@ -129,11 +140,22 @@ def preprocess(
     # r_alpha^2 bounds where alpha can reach 1/255 at all (with a small
     # safety factor for f32 rounding in the blend's exp);
     # the RECT radius additionally caps at the reference's 3 sigma.
-    r_alpha_sq = (
+    r_alpha_true_sq = (
         2.0 * jnp.maximum(lambda_max, 0.0) * jnp.maximum(ln_term, 0.0)
     ) * 1.0001 + 1e-3
+    if adaptive_radius:
+        r_alpha_sq = r_alpha_true_sq
+    else:
+        # Full-rect mode: the circle test never culls (reference iterates
+        # every rect tile, forward.cu surface pass included).
+        r_alpha_sq = jnp.full_like(lambda_max, 3.4e38)
     r_sq = jnp.minimum(9.0 * jnp.maximum(lambda_max, 0.0), r_alpha_sq)
     radius = jnp.ceil(jnp.sqrt(r_sq))
+    radius_q = jnp.ceil(
+        jnp.sqrt(
+            jnp.minimum(9.0 * jnp.maximum(lambda_max, 0.0), r_alpha_true_sq)
+        )
+    )
 
     grid_w = (width + tile - 1) // tile
     grid_h = (height + tile - 1) // tile
@@ -167,6 +189,7 @@ def preprocess(
         opacity=opacity,
         radius=radius,
         r_alpha_sq=r_alpha_sq,
+        radius_q=radius_q,
         rect_min=jnp.stack([rect_min_x, rect_min_y], axis=-1),
         rect_max=jnp.stack([rect_max_x, rect_max_y], axis=-1),
         tiles_touched=tiles_touched.astype(jnp.int32),

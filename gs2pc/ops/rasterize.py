@@ -136,6 +136,14 @@ def _window_keys(rmin, rmax, xy, r_alpha_sq, valid, s_win: int, cfg: TileConfig)
     return keys, covered
 
 
+def _win_dims(rw, rh, s_win: int):
+    """Emitted window dims for the s_win-slot window (same formula as
+    _window_keys)."""
+    s_w = jnp.clip(rw, 1, s_win)
+    s_h = jnp.clip(jnp.minimum(rh, s_win // jnp.maximum(s_w, 1)), 1, s_win)
+    return s_w, s_h
+
+
 def _build_pairs(prep, cfg: TileConfig):
     """Expand Gaussians into tile-sorted (key, sid) pair lists.
 
@@ -159,7 +167,8 @@ def _build_pairs(prep, cfg: TileConfig):
     per-Gaussian max/argmax/min reductions are conflict-free scatter-sets
     + lane reductions instead of gathers + scatter-max.
 
-    Returns (sorted_keys (L,), sorted_sid (L,)).
+    Returns (sorted_keys (L,), sorted_sid (L,), win_dropped () int32 —
+    candidate tiles truncated away by the slot windows this camera).
     """
     S = cfg.slots
     SA = min(cfg.slots_small, S)
@@ -175,7 +184,47 @@ def _build_pairs(prep, cfg: TileConfig):
     )
     sid_a = gid[None, :] * S + jnp.arange(SA, dtype=jnp.int32)[:, None]
 
+    # Window-truncation diagnostic: QUALITY-relevant candidate tiles each
+    # valid Gaussian covers beyond the window actually emitted for it.
+    # "Quality-relevant" = within the alpha-cutoff radius radius_q: pairs
+    # beyond it can only carry alpha < 1/255, which the blend skips — the
+    # reference iterates them but they change nothing, so counting them
+    # would flag clean renders as truncated.  (Surface-distance coverage
+    # can still shrink beyond radius_q; that loss is second-order.)
+    rw = prep.rect_max[:, 0] - prep.rect_min[:, 0]
+    rh = prep.rect_max[:, 1] - prep.rect_min[:, 1]
+    tile = cfg.tile
+    qminx = jnp.maximum(
+        prep.rect_min[:, 0],
+        jnp.floor((prep.xy[:, 0] - prep.radius_q) / tile).astype(jnp.int32),
+    )
+    qmaxx = jnp.minimum(
+        prep.rect_max[:, 0],
+        jnp.floor(
+            (prep.xy[:, 0] + prep.radius_q + tile - 1) / tile
+        ).astype(jnp.int32),
+    )
+    qminy = jnp.maximum(
+        prep.rect_min[:, 1],
+        jnp.floor((prep.xy[:, 1] - prep.radius_q) / tile).astype(jnp.int32),
+    )
+    qmaxy = jnp.minimum(
+        prep.rect_max[:, 1],
+        jnp.floor(
+            (prep.xy[:, 1] + prep.radius_q + tile - 1) / tile
+        ).astype(jnp.int32),
+    )
+    qw = jnp.maximum(qmaxx - qminx, 0)
+    qh = jnp.maximum(qmaxy - qminy, 0)
+    q_area = qw * qh
+
+    def q_lost(s_win: int):
+        s_w, s_h = _win_dims(rw, rh, s_win)
+        kept = jnp.minimum(s_w, qw) * jnp.minimum(s_h, qh)
+        return jnp.maximum(q_area - kept, 0)
+
     if SA >= S:
+        win_dropped = jnp.sum(jnp.where(prep.valid & ~covered, q_lost(S), 0))
         keys = keys_a.reshape(-1)
         sids = sid_a.reshape(-1)
         ranks = jnp.broadcast_to(depth_bits[None, :], (SA, P)).reshape(-1)
@@ -187,6 +236,8 @@ def _build_pairs(prep, cfg: TileConfig):
         big_rank = jnp.cumsum(big) - 1
         overflow = big & (big_rank >= b_cap)
         sel = big & ~overflow
+        lost = jnp.where(sel, q_lost(S), q_lost(SA))
+        win_dropped = jnp.sum(jnp.where(big, lost, 0))
         keys_a = jnp.where(
             (prep.valid & (covered | overflow))[None, :], keys_a, _KEY_SENTINEL
         )
@@ -210,7 +261,7 @@ def _build_pairs(prep, cfg: TileConfig):
     sorted_keys, _, sorted_sid = jax.lax.sort(
         (keys, ranks, sids), num_keys=3
     )
-    return sorted_keys, sorted_sid
+    return sorted_keys, sorted_sid, win_dropped.astype(jnp.int32)
 
 
 def render_tile_camera(
@@ -237,7 +288,9 @@ def render_tile_camera(
 
     The ``init_trans`` / ``early_stop`` / ``want_trans`` / ``best_pix`` /
     ``surface_ed_override`` extensions serve the Gaussian-axis (depth-slab)
-    sharded renderer (gs2pc.parallel.gauss_shard) and are XLA-blend only.
+    sharded renderer (gs2pc.parallel.gauss_shard); both the XLA and the
+    Pallas blend implement them (the reference likewise has one kernel for
+    all call sites, forward.cu:303-497).
     """
     P = means.shape[0]
     prep = preprocess(
@@ -255,6 +308,10 @@ def render_tile_camera(
         camera.height,
         tile=cfg.tile,
         antialiasing=antialiasing,
+        # The AdR radius shrink is exact for blending but would shrink the
+        # pixel set the surface pass measures over (reference semantics:
+        # full 3-sigma rect, forward.cu:460-477).
+        adaptive_radius=not calc_surface_distance,
     )
 
     # Per-Gaussian table in ORIGINAL order (no depth-reorder gathers — the
@@ -274,29 +331,40 @@ def render_tile_camera(
         axis=1,
     )
 
-    keys, pair_sid = _build_pairs(prep, cfg)
+    keys, pair_sid, win_dropped = _build_pairs(prep, cfg)
     L = keys.shape[0]
     S = cfg.slots
     NS = P * S  # slot-table size; slot NS is the dump cell for masked lanes
 
+    # Truncation diagnostics (float32 counters: psum-able, overflow-safe):
+    # [pairs blended, window-truncated candidates, run-cap-dropped pairs].
+    diag_tids = jnp.arange(cfg.num_tiles, dtype=jnp.int32)
+    d_starts = jnp.searchsorted(keys, diag_tids, side="left")
+    d_ends = jnp.searchsorted(keys, diag_tids, side="right")
+    d_runs = (d_ends - d_starts).astype(jnp.float32)
+    runcap_dropped = jnp.sum(jnp.maximum(d_runs - cfg.run_cap, 0.0))
+    pairs_blended = jnp.sum(jnp.minimum(d_runs, cfg.run_cap))
+    diag = jnp.stack(
+        [pairs_blended, win_dropped.astype(jnp.float32), runcap_dropped]
+    )
+
     if use_pallas:
-        if (
-            init_trans is not None
-            or not early_stop
-            or want_trans
-            or want_best_pix
-            or surface_ed_override is not None
-        ):
-            raise NotImplementedError(
-                "gauss-shard renderer extensions require the XLA blend "
-                "(use_pallas=False)"
-            )
         # Mosaic only exists on TPU; anywhere else the kernel runs in
-        # interpret mode (slow, for tests / debugging).
-        pallas_interpret = pallas_interpret or jax.default_backend() != "tpu"
+        # interpret mode (slow, for tests / debugging).  The probe must
+        # recognise every TPU plugin name ('tpu', 'axon', ...): a false
+        # negative here would run interpret mode on real hardware — a
+        # ~1000x silent slowdown.
+        from gs2pc.utils.platform import is_tpu_backend
+
+        pallas_interpret = pallas_interpret or not is_tpu_backend()
         return _finish_pallas(
             prep, table, keys, pair_sid, camera, cfg, mask,
-            white_bkgd, calc_surface_distance, pallas_interpret, P,
+            white_bkgd, calc_surface_distance, pallas_interpret, P, diag,
+            init_trans=init_trans,
+            early_stop=early_stop,
+            want_trans=want_trans,
+            want_best_pix=want_best_pix,
+            surface_ed_override=surface_ed_override,
         )
 
     TB = cfg.tile_batch_eff
@@ -501,6 +569,7 @@ def render_tile_camera(
         surf_dist=surf,
         trans=trans_map,
         best_pix=best_pix if want_best_pix else None,
+        n_dropped=diag,
     )
 
 
@@ -531,9 +600,22 @@ def _untile(t, cfg: TileConfig):  # (NTP, tpx[, k]) -> (Hp, Wp[, k])
     return t.reshape((cfg.height_pad, cfg.width_pad) + extra)
 
 
+def _to_tiles(flat, cfg: TileConfig, fill, dtype):
+    """Row-major (Hp*Wp,) -> tile-major (NTP, tpx) with fill padding."""
+    tpx = cfg.tile * cfg.tile
+    t = jnp.asarray(flat, dtype).reshape(cfg.height_pad, cfg.width_pad)
+    t = t.reshape(cfg.grid_h, cfg.tile, cfg.grid_w, cfg.tile)
+    t = jnp.swapaxes(t, 1, 2).reshape(cfg.num_tiles, tpx)
+    return jnp.full(
+        (cfg.num_tiles_pad, tpx), fill, dtype
+    ).at[: cfg.num_tiles].set(t)
+
+
 def _finish_pallas(
     prep, table, keys, pair_sid, camera, cfg: TileConfig, mask,
-    white_bkgd, calc_surface_distance, interpret, P,
+    white_bkgd, calc_surface_distance, interpret, P, diag=None,
+    init_trans=None, early_stop=True, want_trans=False,
+    want_best_pix=False, surface_ed_override=None,
 ):
     """Pallas-kernel blend path (see gs2pc.ops.pallas_blend)."""
     from gs2pc.ops.pallas_blend import build_aligned_pairs, pallas_blend
@@ -550,26 +632,37 @@ def _finish_pallas(
     )
 
     if mask is not None:
-        mt = mask.reshape(cfg.height_pad, cfg.width_pad)
-        mt = mt.reshape(cfg.grid_h, cfg.tile, cfg.grid_w, cfg.tile)
-        mt = jnp.swapaxes(mt, 1, 2).reshape(cfg.num_tiles, tpx)
-        mask_tiles = jnp.zeros((NTP, tpx), mt.dtype).at[: cfg.num_tiles].set(mt)
-        mask_tiles = mask_tiles.astype(jnp.uint8)
+        mask_tiles = _to_tiles(mask, cfg, 0, mask.dtype).astype(jnp.uint8)
     else:
         mask_tiles = jnp.ones((NTP, tpx), jnp.uint8)
 
-    tiles_rgb, tiles_ed, tiles_einv, m_al, apix_al, sd_al = pallas_blend(
-        pairs, mask_tiles, camera.width, camera.height,
-        num_tiles=cfg.num_tiles, num_tiles_pad=NTP,
-        grid_w=cfg.grid_w, width_pad=cfg.width_pad,
-        run_chunk=Rs, white_bkgd=white_bkgd,
-        run_cap_hint=cfg.run_cap, with_surface=calc_surface_distance,
-        interpret=interpret,
+    t0_tiles = (
+        None if init_trans is None
+        else _to_tiles(init_trans, cfg, 1.0, jnp.float32)
+    )
+    edov_tiles = (
+        None if surface_ed_override is None
+        else _to_tiles(surface_ed_override, cfg, 0.0, jnp.float32)
+    )
+
+    tiles_rgb, tiles_ed, tiles_einv, tiles_T, m_al, apix_al, sd_al = (
+        pallas_blend(
+            pairs, mask_tiles, camera.width, camera.height,
+            num_tiles=cfg.num_tiles, num_tiles_pad=NTP,
+            grid_w=cfg.grid_w, width_pad=cfg.width_pad,
+            run_chunk=Rs, white_bkgd=white_bkgd,
+            run_cap_hint=cfg.run_cap, with_surface=calc_surface_distance,
+            interpret=interpret,
+            init_trans_tiles=t0_tiles,
+            ed_override_tiles=edov_tiles,
+            early_stop=early_stop,
+        )
     )
 
     image = _untile(tiles_rgb, cfg)  # (Hp, Wp, 3)
     ed = _untile(tiles_ed, cfg)
     einv = _untile(tiles_einv, cfg)
+    trans_map = _untile(tiles_T, cfg) if want_trans else None
 
     # Per-Gaussian reductions: scatter-set each pair's (m, apix[, sd]) into
     # its own (gaussian, slot) cell over dynamic PREFIX WINDOWS
@@ -608,7 +701,7 @@ def _finish_pallas(
             sdtab0,
         ),
     )
-    contrib, best_colour, _ = _slot_reduce(mtab, apixtab, image, P, S)
+    contrib, best_colour, best_pix = _slot_reduce(mtab, apixtab, image, P, S)
 
     if calc_surface_distance:
         surf = jnp.min(sdtab[:NS].reshape(P, S), axis=1)
@@ -624,4 +717,7 @@ def _finish_pallas(
         contrib=contrib,
         best_colour=best_colour,
         surf_dist=surf,
+        trans=trans_map,
+        best_pix=best_pix if want_best_pix else None,
+        n_dropped=diag,
     )

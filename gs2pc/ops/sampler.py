@@ -88,7 +88,13 @@ def _chi3_truncated_radius(
     for every truncation radius).  Pure (N,) elementwise VPU work."""
     t = u * _chi3_cdf(std)
     lo = jnp.zeros_like(u)
-    hi = jnp.broadcast_to(jnp.asarray(std, u.dtype), u.shape)
+    # The chi_3 CDF saturates to 1.0 in f32 by r ~ 6, so radii beyond ~16
+    # carry zero probability mass; clamping the bracket there keeps the
+    # bisection resolution ABSOLUTE (~16 * 2^-26) even for an effectively
+    # untruncated std like 1e8, where an [0, std] bracket would resolve to
+    # whole units.
+    hi_cap = jnp.minimum(jnp.asarray(std, u.dtype), jnp.asarray(16.0, u.dtype))
+    hi = jnp.broadcast_to(hi_cap, u.shape)
     for _ in range(iters):
         mid = 0.5 * (lo + hi)
         below = _chi3_cdf(mid) < t

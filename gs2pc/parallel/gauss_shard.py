@@ -42,10 +42,14 @@ strictly MORE of the scene than the single-device truncation keeps
 (c) big_cap window-overflow truncation is likewise per-slab.  Away from
 those caps everything matches to f32 summation order.
 
-Scaling note (v1): preprocessing and pair expansion still run over the
-full replicated Gaussian axis on every device — only the blend work
-(the dominant cost) is divided by D.  Compacting each slab before
-expansion is the follow-up if P-scaling ever dominates.
+Scaling (v2): each device COMPACTS its depth slab to a fixed-size
+P_slab ~ 1.25 * P/D buffer before preprocessing, so projection, pair
+expansion, and the per-device sort all scale ~1/D (v1 replicated them at
+full P).  The quantile slab assignment keeps slab populations within
+sampling error of P_in_frustum/D; Gaussians beyond the 25% slack are
+dropped for that camera and counted in the window-truncation diagnostic
+(n_dropped[1]).  Per-Gaussian outputs scatter back to the full axis
+through the compaction index (unique per device — conflict-free).
 """
 
 from __future__ import annotations
@@ -99,6 +103,14 @@ def _slab_mask(means, viewmatrix, alive, d, n_dev):
     return assignable & (slab == d)
 
 
+def slab_capacity(p: int, n_dev: int, slack: float = 1.25) -> int:
+    """Static per-device slab buffer size: ~P/D with 25% quantile-error
+    slack, rounded to a lane-friendly multiple of 256, capped at P."""
+    base = -(-p // max(n_dev, 1))
+    cap = int(base * slack) + 256
+    return min(-(-cap // 256) * 256, p)
+
+
 def _render_one_gauss_sharded(
     arrays,
     camera,
@@ -109,19 +121,61 @@ def _render_one_gauss_sharded(
     white_bkgd: bool,
     antialiasing: bool,
     calc_surface_distance: bool,
+    shs=None,
+    sh_degree: int = 3,
+    use_pallas: bool = False,
 ) -> RenderOutput:
     means, covf, opac, cols, alive = arrays
+    p_full = means.shape[0]
     alive_d = _slab_mask(means, camera.viewmatrix, alive, d, n_dev)
+
+    # --- slab compaction: P -> P_slab ~ 1.25 P/D ---------------------- #
+    p_slab = slab_capacity(p_full, n_dev)
+    idx = jnp.nonzero(alive_d, size=p_slab, fill_value=p_full)[0].astype(
+        jnp.int32
+    )
+    s_ok = idx < p_full
+    safe = jnp.minimum(idx, p_full - 1)
+    overflow = jnp.maximum(
+        jnp.sum(alive_d.astype(jnp.int32)) - p_slab, 0
+    ).astype(jnp.float32)
+    s_means = means[safe]
+    s_covf = covf[safe]
+    s_opac = opac[safe]
+    s_cols = cols[safe]
+
+    def scatter_to_full(v, fill=0.0):
+        """(P_slab[, k]) slab values -> (P[, k]) full axis (unique idx)."""
+        full = jnp.full((p_full + 1,) + v.shape[1:], fill, v.dtype)
+        vv = jnp.where(
+            s_ok.reshape((-1,) + (1,) * (v.ndim - 1)), v,
+            jnp.asarray(fill, v.dtype),
+        )
+        return full.at[jnp.minimum(idx, p_full)].set(vv)[:p_full]
+
+    if shs is not None:
+        # Per-camera view-dependent SH colours (same capability as the
+        # camera-DP sweep, parallel/sweep.py _render_one) — evaluated on
+        # the compacted slab only.
+        from gs2pc.ops.sh import eval_sh_rgb
+
+        s_shs = shs[safe]
+        dirs = s_means - camera.campos
+        dirs = dirs / jnp.maximum(
+            jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-12
+        )
+        s_cols = eval_sh_rgb(sh_degree, s_shs, dirs)
 
     common = dict(
         mask=mask,
         white_bkgd=False,  # background added once after the psum
         antialiasing=antialiasing,
+        use_pallas=use_pallas,
     )
 
     # Pass 1: trigger-free slab transmittance.
     p1 = render_tile_camera(
-        means, covf, opac, cols, alive_d, camera, cfg,
+        s_means, s_covf, s_opac, s_cols, s_ok, camera, cfg,
         calc_surface_distance=False,
         early_stop=False,
         want_trans=True,
@@ -135,7 +189,7 @@ def _render_one_gauss_sharded(
 
     # Pass 2: absolute contributions with the upstream prefix.
     p2 = render_tile_camera(
-        means, covf, opac, cols, alive_d, camera, cfg,
+        s_means, s_covf, s_opac, s_cols, s_ok, camera, cfg,
         calc_surface_distance=False,
         init_trans=t0,
         want_best_pix=True,
@@ -147,38 +201,56 @@ def _render_one_gauss_sharded(
         image = image + t_global.reshape(image.shape[:2])[..., None]
     ed = jax.lax.psum(p2.depth, GAUSS_AXIS)
     einv = jax.lax.psum(p2.invdepth, GAUSS_AXIS)
-    contrib = jax.lax.pmax(p2.contrib, GAUSS_AXIS)
+    contrib = jax.lax.pmax(scatter_to_full(p2.contrib), GAUSS_AXIS)
 
     # Colour at the argmax pixel must come from the GLOBAL image.
-    best_local = jnp.where(
+    best_slab = jnp.where(
         (p2.contrib > 0.0)[:, None],
         image.reshape(-1, 3)[p2.best_pix],
         0.0,
     )
-    best_colour = jax.lax.psum(best_local, GAUSS_AXIS)
+    best_colour = jax.lax.psum(scatter_to_full(best_slab), GAUSS_AXIS)
 
     if calc_surface_distance:
         # Pass 3: surface sweep against the global expected-depth map
         # (the blend subgraph is shared with pass 2 under CSE).
         p3 = render_tile_camera(
-            means, covf, opac, cols, alive_d, camera, cfg,
+            s_means, s_covf, s_opac, s_cols, s_ok, camera, cfg,
             calc_surface_distance=True,
             init_trans=t0,
             surface_ed_override=ed.reshape(-1),
             **common,
         )
-        surf = jax.lax.pmin(p3.surf_dist, GAUSS_AXIS)
+        surf = jax.lax.pmin(
+            scatter_to_full(p3.surf_dist, fill=FLOAT_MAX), GAUSS_AXIS
+        )
     else:
-        surf = jnp.full(means.shape[0], FLOAT_MAX, jnp.float32)
+        surf = jnp.full(p_full, FLOAT_MAX, jnp.float32)
+
+    # Truncation counters: each device counted its own slab; the global
+    # per-camera figure is their sum (note run_cap truncation is per SLAB
+    # here — see the module docstring's divergence (b)).  Slab-buffer
+    # overflow (Gaussians beyond the 25% compaction slack, dropped this
+    # camera) is folded into the window-truncation counter.
+    n_dropped = (
+        None if p2.n_dropped is None
+        else jax.lax.psum(
+            p2.n_dropped + jnp.stack(
+                [jnp.float32(0.0), overflow, jnp.float32(0.0)]
+            ),
+            GAUSS_AXIS,
+        )
+    )
 
     return RenderOutput(
         image=image,
         depth=ed,
         invdepth=einv,
-        radii=p2.radii,
+        radii=jnp.zeros(p_full, jnp.float32),  # unused by the accumulators
         contrib=contrib,
         best_colour=best_colour,
         surf_dist=surf,
+        n_dropped=n_dropped,
     )
 
 
@@ -190,6 +262,9 @@ def render_sweep_gauss_sharded(
     white_bkgd: bool = True,
     antialiasing: bool = False,
     calc_surface_distance: bool = True,
+    shs=None,
+    sh_degree: int = 3,
+    use_pallas: bool = False,
 ) -> SweepAccumulators:
     """Camera sweep with the Gaussian axis depth-slab sharded over ``mesh``.
 
@@ -205,6 +280,8 @@ def render_sweep_gauss_sharded(
     masks = cameras.mask if has_mask else jnp.zeros(
         (cameras.num_cameras, 1), jnp.uint8
     )
+    has_shs = shs is not None
+    shs_arg = shs if has_shs else jnp.zeros((1,), jnp.float32)
 
     @functools.partial(
         jax.shard_map,
@@ -213,11 +290,12 @@ def render_sweep_gauss_sharded(
             jax.tree.map(lambda _: P(), scene_arrays),
             jax.tree.map(lambda _: P(), cams_nomask),
             P(),
+            P(),
         ),
         out_specs=jax.tree.map(lambda _: P(), init_accumulators(1)),
         check_vma=False,
     )
-    def sharded(scene_local, cams_local, masks_local):
+    def sharded(scene_local, cams_local, masks_local, shs_local):
         d = jax.lax.axis_index(GAUSS_AXIS)
         acc0 = init_accumulators(p_num)
 
@@ -227,13 +305,16 @@ def render_sweep_gauss_sharded(
                 scene_local, cam, m if has_mask else None,
                 d, n_dev, cfg, white_bkgd, antialiasing,
                 calc_surface_distance,
+                shs=shs_local if has_shs else None,
+                sh_degree=sh_degree,
+                use_pallas=use_pallas,
             )
             return update_accumulators(acc, out), None
 
         acc, _ = jax.lax.scan(step, acc0, (cams_local, masks_local))
         return acc
 
-    return sharded(scene_arrays, cams_nomask, masks)
+    return sharded(scene_arrays, cams_nomask, masks, shs_arg)
 
 
 def make_2d_mesh(num_devices: int = 0, devices=None) -> Mesh:
@@ -266,6 +347,9 @@ def render_sweep_2d(
     white_bkgd: bool = True,
     antialiasing: bool = False,
     calc_surface_distance: bool = True,
+    shs=None,
+    sh_degree: int = 3,
+    use_pallas: bool = False,
 ) -> SweepAccumulators:
     """Camera-DP x Gaussian-slab 2-D sharded sweep.
 
@@ -288,6 +372,8 @@ def render_sweep_2d(
     masks = cameras.mask if has_mask else jnp.zeros(
         (cameras.num_cameras, 1), jnp.uint8
     )
+    has_shs = shs is not None
+    shs_arg = shs if has_shs else jnp.zeros((1,), jnp.float32)
 
     @functools.partial(
         jax.shard_map,
@@ -296,11 +382,12 @@ def render_sweep_2d(
             jax.tree.map(lambda _: P(), scene_arrays),
             jax.tree.map(lambda _: P(CAM_AXIS), cams_nomask),
             P(CAM_AXIS),
+            P(),
         ),
         out_specs=jax.tree.map(lambda _: P(), init_accumulators(1)),
         check_vma=False,
     )
-    def sharded(scene_local, cams_local, masks_local):
+    def sharded(scene_local, cams_local, masks_local, shs_local):
         d = jax.lax.axis_index(GAUSS_AXIS)
         acc0 = init_accumulators(p_num)
 
@@ -310,6 +397,9 @@ def render_sweep_2d(
                 scene_local, cam, m if has_mask else None,
                 d, n_gauss_dev, cfg, white_bkgd, antialiasing,
                 calc_surface_distance,
+                shs=shs_local if has_shs else None,
+                sh_degree=sh_degree,
+                use_pallas=use_pallas,
             )
             return update_accumulators(acc, out), None
 
@@ -318,11 +408,12 @@ def render_sweep_2d(
         # Cross-camera combine over the "cams" axis (sweep.py semantics).
         total = jax.lax.psum(acc.total_contribution, CAM_AXIS)
         sd = jax.lax.pmin(acc.min_surface_distance, CAM_AXIS)
+        nd = jax.lax.psum(acc.n_dropped, CAM_AXIS)
         gmax_all = jax.lax.all_gather(acc.max_contribution, CAM_AXIS)
         gcol_all = jax.lax.all_gather(acc.colours, CAM_AXIS)
         winner = jnp.argmax(gmax_all, axis=0)
         gmax = jnp.max(gmax_all, axis=0)
         gcol = jnp.take_along_axis(gcol_all, winner[None, :, None], axis=0)[0]
-        return SweepAccumulators(gmax, gcol, total, sd)
+        return SweepAccumulators(gmax, gcol, total, sd, nd)
 
-    return sharded(scene_arrays, cams_nomask, masks)
+    return sharded(scene_arrays, cams_nomask, masks, shs_arg)

@@ -37,6 +37,15 @@ class SweepAccumulators(NamedTuple):
     colours: jnp.ndarray  # (P, 3) rendered colour at best pixel, [0, 1]
     total_contribution: jnp.ndarray  # (P,)
     min_surface_distance: jnp.ndarray  # (P,)
+    # (3,) f32 summed truncation counters over the whole sweep:
+    # [pairs blended, window-truncated candidates, run-cap-dropped pairs].
+    # Observability for the static-capacity knobs (slots / run_cap) — the
+    # reference renders every covered tile with no cap, so any nonzero
+    # drop count here is a quality signal the user must be able to see.
+    # None when unknown (e.g. resumed from a legacy checkpoint); the
+    # default is None rather than jnp.zeros so importing this module never
+    # initialises a jax backend.
+    n_dropped: jnp.ndarray | None = None
 
 
 def init_accumulators(num_gaussians: int) -> SweepAccumulators:
@@ -45,6 +54,7 @@ def init_accumulators(num_gaussians: int) -> SweepAccumulators:
         colours=jnp.zeros((num_gaussians, 3), jnp.float32),
         total_contribution=jnp.zeros(num_gaussians, jnp.float32),
         min_surface_distance=jnp.full(num_gaussians, FLOAT_MAX, jnp.float32),
+        n_dropped=jnp.zeros(3, jnp.float32),
     )
 
 
@@ -59,6 +69,10 @@ def update_accumulators(
         total_contribution=acc.total_contribution + out.contrib,
         min_surface_distance=jnp.minimum(
             acc.min_surface_distance, out.surf_dist
+        ),
+        n_dropped=(
+            acc.n_dropped if out.n_dropped is None or acc.n_dropped is None
+            else acc.n_dropped + out.n_dropped
         ),
     )
 
@@ -221,11 +235,12 @@ def render_sweep_sharded(
         )
         total = jax.lax.psum(acc.total_contribution, CAM_AXIS)
         sd = jax.lax.pmin(acc.min_surface_distance, CAM_AXIS)
+        nd = jax.lax.psum(acc.n_dropped, CAM_AXIS)
         gmax_all = jax.lax.all_gather(acc.max_contribution, CAM_AXIS)  # (D, P)
         gcol_all = jax.lax.all_gather(acc.colours, CAM_AXIS)  # (D, P, 3)
         winner = jnp.argmax(gmax_all, axis=0)  # (P,)
         gmax = jnp.max(gmax_all, axis=0)
         gcol = jnp.take_along_axis(gcol_all, winner[None, :, None], axis=0)[0]
-        return SweepAccumulators(gmax, gcol, total, sd)
+        return SweepAccumulators(gmax, gcol, total, sd, nd)
 
     return sharded(scene_arrays, cameras, shs_arg)

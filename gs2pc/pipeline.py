@@ -64,11 +64,12 @@ def _resolve_pallas(mode: str) -> bool:
     # "auto": the Pallas v2 blend is byte-identical to the XLA path through
     # the CLI and ~1.45x faster per camera on a v5e (see
     # tools/compare_pallas.py and DESIGN.md §7), so it is the default on TPU
-    # backends.  Non-TPU backends keep the portable XLA blend.
-    try:
-        return jax.default_backend() == "tpu"
-    except Exception:
-        return False
+    # backends.  Non-TPU backends keep the portable XLA blend.  Detection
+    # goes through the device allowlist in utils.platform — the literal
+    # backend name differs between PJRT plugins ('tpu' vs 'axon').
+    from gs2pc.utils.platform import is_tpu_backend
+
+    return is_tpu_backend()
 
 
 def run_render_sweep(
@@ -111,20 +112,19 @@ def run_render_sweep(
                 f"--shard_axis {settings.shard_axis} requires the tile "
                 "renderer"
             )
-        if shs is not None:
-            raise ValueError(
-                f"--shard_axis {settings.shard_axis} does not support "
-                "--sh_colour_eval yet"
-            )
         if settings.shard_axis == "both":
             acc = render_sweep_2d(
                 arrays, cameras, cfg, make_2d_mesh(num_devices),
                 calc_surface_distance=calc_surface,
+                shs=shs, sh_degree=settings.max_sh_degree,
+                use_pallas=use_pallas,
             )
         else:
             acc = render_sweep_gauss_sharded(
                 arrays, cameras, cfg, make_gauss_mesh(num_devices),
                 calc_surface_distance=calc_surface,
+                shs=shs, sh_degree=settings.max_sh_degree,
+                use_pallas=use_pallas,
             )
     elif num_devices > 1:
         mesh = make_mesh(num_devices)
@@ -153,7 +153,51 @@ def run_render_sweep(
         colours=acc.colours[:p],
         total_contribution=acc.total_contribution[:p],
         min_surface_distance=acc.min_surface_distance[:p],
+        n_dropped=acc.n_dropped,
     )
+
+
+# Truncation fraction (dropped / blended pairs) above which the static
+# capacity knobs are reported as materially degrading quality.
+TRUNCATION_WARN_FRACTION = 0.005
+
+
+def report_truncation(acc: SweepAccumulators) -> tuple[bool, bool]:
+    """Log sweep truncation counters; return (window_material, cap_material).
+
+    The reference blends every covered tile with no capacity limits
+    (rasterizer_impl.cu:297-322) and instead degrades via OOM retries
+    (gauss_render.py:446-465); gs2pc's fixed-shape capacities truncate
+    instead, so the drop counts must be surfaced — a user cannot otherwise
+    tell a clean render from a truncated one.
+    """
+    if acc.n_dropped is None:
+        return False, False
+    pairs, win_drop, cap_drop = (float(x) for x in np.asarray(acc.n_dropped))
+    if pairs == 0.0 and win_drop == 0.0 and cap_drop == 0.0:
+        return False, False  # dense renderer (never truncates) or empty sweep
+    log.info(
+        f"Render pair budget: {pairs:,.0f} blended; truncated "
+        f"{win_drop:,.0f} (tile windows), {cap_drop:,.0f} (per-tile cap)"
+    )
+    denom = max(pairs, 1.0)
+    win_material = win_drop / denom > TRUNCATION_WARN_FRACTION
+    cap_material = cap_drop / denom > TRUNCATION_WARN_FRACTION
+    if win_material:
+        log.warn(
+            f"{win_drop:,.0f} splat-tile candidates "
+            f"({100.0 * win_drop / denom:.2f}% of blended pairs) were cut "
+            "by the tile-window capacity; raise --tile_slots / "
+            "--tile_slots_small / --big_window_cap (or pass "
+            "--auto_capacity) to recover them"
+        )
+    if cap_material:
+        log.warn(
+            f"{cap_drop:,.0f} pairs ({100.0 * cap_drop / denom:.2f}% of "
+            "blended) fell beyond the per-tile depth cap; raise "
+            "--max_pairs_per_tile (or pass --auto_capacity)"
+        )
+    return win_material, cap_material
 
 
 def surface_keep_mask(
@@ -286,7 +330,9 @@ def convert_3dgs_to_pc(
                 from gs2pc.utils.checkpoint import load_accumulators
 
                 acc = load_accumulators(
-                    settings.load_sweep, gaussians.num_gaussians
+                    settings.load_sweep,
+                    gaussians.num_gaussians,
+                    scene_xyz=gaussians.xyz,
                 )
             else:
                 cameras, w_pad, h_pad = build_camera_batch(
@@ -299,18 +345,45 @@ def convert_3dgs_to_pc(
                     width_pad=w_pad,
                     height_pad=h_pad,
                     slots=settings.render.slots_per_gaussian,
+                    slots_small=settings.render.slots_small,
+                    big_cap=settings.render.big_cap,
                     run_cap=settings.render.max_pairs_per_tile,
                     run_chunk=settings.render.run_chunk,
                     tile_batch=settings.render.tile_batch,
                 )
-                acc = run_render_sweep(
-                    gaussians, cameras, cfg, settings, num_devices=num_devices
-                )
+                # Graceful capacity degradation (the TPU analogue of the
+                # reference's OOM retry-shrink, gauss_render.py:446-465,
+                # inverted: fixed shapes truncate instead of OOM-ing, so
+                # on material truncation the capacities GROW and the
+                # sweep re-runs).
+                max_attempts = 3 if settings.auto_capacity else 1
+                for attempt in range(max_attempts):
+                    acc = run_render_sweep(
+                        gaussians, cameras, cfg, settings,
+                        num_devices=num_devices,
+                    )
+                    win_mat, cap_mat = report_truncation(acc)
+                    if not (win_mat or cap_mat) or attempt == max_attempts - 1:
+                        break
+                    upd = {}
+                    if win_mat:
+                        upd["slots"] = cfg.slots * 2
+                        upd["slots_small"] = cfg.slots_small * 2
+                    if cap_mat:
+                        upd["run_cap"] = cfg.run_cap * 2
+                    cfg = cfg._replace(**upd)
+                    log.warn(
+                        "auto_capacity: re-rendering with "
+                        + ", ".join(f"{k}={v}" for k, v in upd.items())
+                    )
                 if settings.save_sweep is not None:
                     from gs2pc.utils.checkpoint import save_accumulators
 
                     save_accumulators(
-                        settings.save_sweep, acc, gaussians.num_gaussians
+                        settings.save_sweep,
+                        acc,
+                        gaussians.num_gaussians,
+                        scene_xyz=gaussians.xyz,
                     )
 
         log.info(f"\nNumber Initial Gaussians: {gaussians.num_gaussians}")

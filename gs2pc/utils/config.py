@@ -34,6 +34,8 @@ class RenderConfig(NamedTuple):
 
     tile: int = 16  # pixel tile edge
     slots_per_gaussian: int = 16  # max (tile,gaussian) pairs per Gaussian
+    slots_small: int = 4  # window size for small (rect-covered) Gaussians
+    big_cap: int = 0  # Gaussians granted the full window (0 = P // 4)
     max_pairs_per_tile: int = 4096  # per-tile run cap (front-to-back)
     run_chunk: int = 128  # gaussians blended per inner step
     tile_batch: int = 256  # tiles processed per outer step
@@ -67,6 +69,7 @@ class GaussPointCloudSettings(NamedTuple):
     save_sweep: Optional[str] = None  # checkpoint accumulators after sweep
     load_sweep: Optional[str] = None  # resume accumulators, skip the sweep
     shard_axis: str = "cams"  # "cams" | "gauss" (depth slabs) | "both" (2-D)
+    auto_capacity: bool = False  # grow tile capacities + re-sweep on truncation
     render: RenderConfig = RenderConfig()
 
 
@@ -80,10 +83,28 @@ RENDERER_ALIASES = {
     "dense": "dense",
 }
 
+_TRUE_WORDS = ("true", "yes", "on", "1")
+_FALSE_WORDS = ("false", "no", "off", "0")
 
-def _read_config_file(path: str) -> list[str]:
-    """Parse a simple key=value / key: value config file into argv tokens."""
-    argv: list[str] = []
+
+def _read_config_file(
+    path: str, parser: argparse.ArgumentParser
+) -> list[str]:
+    """Parse a key=value / key: value config file into argv tokens.
+
+    Boolean interpretation applies ONLY to keys that are store_true flags
+    on ``parser`` — value-taking flags pass their text through verbatim, so
+    e.g. ``pallas = off`` reaches argparse as ``--pallas off`` rather than
+    being swallowed as a boolean.  Later lines override earlier ones for
+    the same key (so ``key = false`` cancels an earlier ``key = true``),
+    and explicit CLI flags override the file.
+    """
+    flag_keys = {
+        a.dest
+        for a in parser._actions
+        if isinstance(a, argparse._StoreTrueAction)
+    }
+    entries: dict[str, str] = {}
     with open(path, "r", encoding="utf-8") as fh:
         for raw in fh:
             line = raw.split("#", 1)[0].strip()
@@ -96,16 +117,24 @@ def _read_config_file(path: str) -> list[str]:
             else:
                 key, value = line, ""
             key = key.strip().lstrip("-").replace("-", "_")
-            value = value.strip()
-            if value.lower() in ("true", "yes", "on"):
+            entries[key] = value.strip()
+
+    argv: list[str] = []
+    for key, value in entries.items():
+        if key in flag_keys:
+            word = value.lower()
+            if word in _TRUE_WORDS or word == "":
                 argv.append(f"--{key}")
-            elif value.lower() in ("false", "no", "off", ""):
-                if value.lower() in ("false", "no", "off"):
-                    continue
-                argv.append(f"--{key}")
+            elif word in _FALSE_WORDS:
+                continue
             else:
-                argv.append(f"--{key}")
-                argv.extend(shlex.split(value))
+                raise AttributeError(
+                    f"Config entry '{key} = {value}' must be a boolean "
+                    f"(one of {_TRUE_WORDS + _FALSE_WORDS})"
+                )
+        else:
+            argv.append(f"--{key}")
+            argv.extend(shlex.split(value))
     return argv
 
 
@@ -115,45 +144,48 @@ def build_parser() -> argparse.ArgumentParser:
         prog="gs2pc",
         description="TPU-native 3D Gaussian Splatting to point cloud converter",
     )
-    p.add_argument("--config", type=str, default=None, help="Path to a key=value config file (values are overridden by explicit CLI flags)")
+    p.add_argument("--config", type=str, default=None, help="Read defaults from a key=value config file; flags given on the command line take precedence")
 
-    p.add_argument("--input_path", type=str, required=True, help="Path to ply or splat file to convert to a point cloud")
-    p.add_argument("--output_path", type=str, default="3dgs_pc.ply", help="Path to output file (must be ply file)")
-    p.add_argument("--transform_path", default=None, type=str, help="Path to COLMAP or Transform file used for loading in camera positions for rendering")
-    p.add_argument("--mask_path", default=None, type=str, help="Path to directory containing associated masks for image transforms (must have the same image names as in transforms)")
-    p.add_argument("--renderer_type", type=str, default="tile", help="Renderer for point colours: 'tile' (TPU tile rasterizer; alias 'cuda') or 'dense' (exact dense oracle; alias 'python')")
-    p.add_argument("--num_points", type=int, default=10_000_000, help="Total number of points to generate for the pointcloud")
-    p.add_argument("--exact_num_points", action="store_true", help="Set if the number of generated points should more closely match the num_points argument (slower)")
-    p.add_argument("--no_prioritise_visible_gaussians", action="store_true", help="Gaussians that contribute most to the scene are given more points- set to turn this off")
-    p.add_argument("--visibility_threshold", type=float, default=0.05, help="Minimum contribution each Gaussian must have to be included in the final point cloud generation (larger value = less noise)")
-    p.add_argument("--surface_distance_std", type=float, default=None, help="Cull Gaussians that are a minimum of X standard deviations away from the scene surfaces (smaller value = less noise)")
-    p.add_argument("--clean_pointcloud", action="store_true", help="Set to remove outliers on the point cloud after generation")
-    p.add_argument("--generate_mesh", action="store_true", help="Set to also generate a mesh based on the created point cloud")
-    p.add_argument("--poisson_depth", default=10, type=int, help="The depth used in the poisson surface reconstruction algorithm that is used for meshing (larger value = more quality)")
-    p.add_argument("--laplacian_iterations", default=10, type=int, help="The number of iterations to perform laplacian mesh smoothing (larger value = smoother mesh)")
-    p.add_argument("--mesh_output_path", type=str, default="3dgs_mesh.ply", help="Path to mesh output file (must be ply file)")
-    p.add_argument("--camera_skip_rate", type=int, default=0, help="Number of cameras to skip for each rendered camera (reduces compute time- only use if cameras in linear trajectory)")
-    p.add_argument("--no_render_colours", action="store_true", help="Skip rendering colours- faster but colours will be strange")
-    p.add_argument("--colour_quality", type=str, default="high", help="The quality of the colours when generating the point cloud (more quality = slower processing time). Available options are: tiny, low, medium, high, ultra and original.")
-    p.add_argument("--bounding_box_min", nargs=3, help="Values for minimum position of gaussians to include in generating the new point cloud")
-    p.add_argument("--bounding_box_max", nargs=3, help="Values for maximum position of gaussians to include in generating the new point cloud")
-    p.add_argument("--mahalanobis_distance_std", type=float, default=2.0, help="Maximum distance each point can be from the centre of their gaussian")
-    p.add_argument("--no_calculate_normals", action="store_true", help="Set to not calculate normals for the points")
-    p.add_argument("--min_opacity", type=float, default=0.0, help="Minimum opacity for gaussians to be included (must be between 0-1)")
-    p.add_argument("--cull_gaussian_sizes", type=float, default=0.0, help="The percentage of gaussians to remove from largest to smallest (used to remove large gaussians)")
-    p.add_argument("--max_sh_degree", type=int, default=3, help="The number spherical harmonics of the loaded point cloud (default 3- change if different number of spherical harmonics are loaded)")
-    p.add_argument("--quiet", action="store_true", help="Set to suppress any output print statements")
+    p.add_argument("--input_path", type=str, required=True, help="The 3DGS scene to convert (.ply or .splat)")
+    p.add_argument("--output_path", type=str, default="3dgs_pc.ply", help="Where to write the generated point cloud (a .ply file)")
+    p.add_argument("--transform_path", default=None, type=str, help="Camera poses for the colour render sweep: a COLMAP sparse directory (bin/txt) or a transforms.json file")
+    p.add_argument("--mask_path", default=None, type=str, help="Directory of per-image masks; file names must line up with the image names in the transforms")
+    p.add_argument("--renderer_type", type=str, default="tile", help="Which renderer colours the points: 'tile' (TPU tile rasterizer; alias 'cuda') or 'dense' (exact dense oracle; alias 'python')")
+    p.add_argument("--num_points", type=int, default=10_000_000, help="Target size of the output point cloud")
+    p.add_argument("--exact_num_points", action="store_true", help="Drive the generated count as close to --num_points as possible (costs extra sampling work)")
+    p.add_argument("--no_prioritise_visible_gaussians", action="store_true", help="By default the point budget is weighted towards Gaussians that contribute most across the rendered views; pass this to weight by size alone")
+    p.add_argument("--visibility_threshold", type=float, default=0.05, help="Drop Gaussians whose best per-view contribution never reaches this value (raise to suppress floaters)")
+    p.add_argument("--surface_distance_std", type=float, default=None, help="Drop Gaussians further than this many deviations from the rendered surface depth (lower = tighter to the surface)")
+    p.add_argument("--clean_pointcloud", action="store_true", help="Run statistical outlier removal on the finished cloud")
+    p.add_argument("--generate_mesh", action="store_true", help="Additionally reconstruct a mesh from a surface-biased point cloud")
+    p.add_argument("--poisson_depth", default=10, type=int, help="Octree depth for Poisson surface reconstruction (deeper = finer mesh, slower)")
+    p.add_argument("--laplacian_iterations", default=10, type=int, help="Rounds of Laplacian smoothing applied to the reconstructed mesh")
+    p.add_argument("--mesh_output_path", type=str, default="3dgs_mesh.ply", help="Where to write the reconstructed mesh (a .ply file)")
+    p.add_argument("--camera_skip_rate", type=int, default=0, help="Render every (N+1)-th camera only; useful when poses follow a dense trajectory")
+    p.add_argument("--no_render_colours", action="store_true", help="Skip the colour render sweep entirely (much faster; points keep their raw Gaussian colours)")
+    p.add_argument("--colour_quality", type=str, default="high", help="Resolution tier for the colour render sweep: tiny, low, medium, high, ultra, or original (native image size)")
+    p.add_argument("--bounding_box_min", nargs=3, help="Lower corner (x y z) of an axis-aligned crop applied before sampling")
+    p.add_argument("--bounding_box_max", nargs=3, help="Upper corner (x y z) of an axis-aligned crop applied before sampling")
+    p.add_argument("--mahalanobis_distance_std", type=float, default=2.0, help="Truncation radius for sampling, in standard deviations from each Gaussian's centre")
+    p.add_argument("--no_calculate_normals", action="store_true", help="Skip per-point normals (they come from each Gaussian's flattest axis)")
+    p.add_argument("--min_opacity", type=float, default=0.0, help="Drop Gaussians below this opacity (range 0-1)")
+    p.add_argument("--cull_gaussian_sizes", type=float, default=0.0, help="Drop this percentage of Gaussians, largest first (tames oversized background splats)")
+    p.add_argument("--max_sh_degree", type=int, default=3, help="Spherical-harmonic degree of the input scene (only change for non-standard exports)")
+    p.add_argument("--quiet", action="store_true", help="Silence progress output")
 
     # gs2pc-specific extensions (all optional, defaults match reference flow)
     p.add_argument("--seed", type=int, default=0, help="PRNG seed for point sampling")
-    p.add_argument("--tile_slots", type=int, default=16, help="Max tiles a single Gaussian may cover in the tile renderer (static capacity)")
-    p.add_argument("--max_pairs_per_tile", type=int, default=4096, help="Per-tile depth-run capacity in the tile renderer")
+    p.add_argument("--tile_slots", type=int, default=16, help="Tile-window capacity for LARGE Gaussians in the tile renderer: at most this many tiles receive a given big splat (static capacity; raise for scenes with huge splats)")
+    p.add_argument("--tile_slots_small", type=int, default=4, help="Tile-window capacity for ordinary Gaussians whose projected rect fits in a small window (most of the scene); raise if truncation warnings point here")
+    p.add_argument("--big_window_cap", type=int, default=0, help="How many Gaussians may claim the full --tile_slots window per camera (0 = a quarter of the scene); overflow falls back to the small window")
+    p.add_argument("--max_pairs_per_tile", type=int, default=4096, help="Per-tile depth-run capacity in the tile renderer; the front-to-back tail beyond it is dropped")
+    p.add_argument("--auto_capacity", action="store_true", help="If the render sweep reports material truncation, double the relevant tile capacities and re-render (up to two escalations)")
     p.add_argument("--num_devices", type=int, default=0, help="Number of devices to shard the camera sweep/sampler over (0 = all local devices)")
     p.add_argument("--sh_colour_eval", action="store_true", help="Evaluate full view-dependent spherical harmonics per camera during the colour sweep (reference pipelines use degree-0 colours)")
     p.add_argument("--save_sweep", type=str, default=None, help="Save per-Gaussian sweep accumulators (colours/contributions/surface distances) to this .npz for later reuse")
     p.add_argument("--load_sweep", type=str, default=None, help="Load sweep accumulators from this .npz instead of re-rendering all cameras")
     p.add_argument("--pallas", type=str, default="auto", choices=["auto", "on", "off"], help="Use the hand-written Pallas TPU blend kernel ('auto' enables it on TPU backends)")
-    p.add_argument("--shard_axis", type=str, default="cams", choices=["cams", "gauss", "both"], help="Multi-device sharding axis for the render sweep: 'cams' = camera data parallel, 'gauss' = depth-slab Gaussian parallel, 'both' = near-square 2-D (cams x gauss) mesh ('gauss'/'both' use the XLA blend)")
+    p.add_argument("--shard_axis", type=str, default="cams", choices=["cams", "gauss", "both"], help="Multi-device sharding axis for the render sweep: 'cams' = camera data parallel, 'gauss' = depth-slab Gaussian parallel, 'both' = near-square 2-D (cams x gauss) mesh")
     p.add_argument("--profile_dir", type=str, default=None, help="Write a jax.profiler trace of the conversion to this directory (view with TensorBoard/XProf)")
     return p
 
@@ -163,7 +195,7 @@ def parse_args(argv: Optional[Sequence[str]] = None) -> argparse.Namespace:
     parser = build_parser()
     ns, _ = parser.parse_known_args(argv)
     if ns.config is not None:
-        file_argv = _read_config_file(ns.config)
+        file_argv = _read_config_file(ns.config, parser)
         argv_list = list(argv) if argv is not None else None
         if argv_list is None:
             import sys
@@ -179,55 +211,58 @@ def parse_args(argv: Optional[Sequence[str]] = None) -> argparse.Namespace:
 def validate_args(args: argparse.Namespace) -> None:
     """Cross-flag validation, rule-for-rule with gauss_to_pc.py:650-708."""
     if args.min_opacity < 0 or args.min_opacity > 1:
-        raise AttributeError("Minumum opacity must be between 0 and 1")
+        raise AttributeError("--min_opacity is a fraction: it must lie in [0, 1]")
     if args.mahalanobis_distance_std <= 0:
-        raise AttributeError("Std distance must be greater than 0")
+        raise AttributeError("--mahalanobis_distance_std must be a positive number of deviations")
     if args.num_points <= 0:
-        raise AttributeError("Number of points must be greater than 0")
+        raise AttributeError("--num_points must be a positive point count")
 
-    for attr, label in (("bounding_box_min", "Bounding Box Min"), ("bounding_box_max", "Bounding Box Max")):
+    for attr, label in (("bounding_box_min", "--bounding_box_min"), ("bounding_box_max", "--bounding_box_max")):
         val = getattr(args, attr)
         if val is not None:
             try:
                 val = [float(x) for x in val]
             except ValueError:
-                raise AttributeError(f"{label} must contain float values")
+                raise AttributeError(f"{label} takes numeric coordinates")
             if len(val) != 3:
-                raise AttributeError(f"{label} must have exactly 3 values")
+                raise AttributeError(f"{label} needs exactly three values (x y z)")
             setattr(args, attr, val)
 
     if args.colour_quality.lower() not in COLOR_QUALITY_OPTIONS:
         raise AttributeError(
-            f"Colour quality must be in the following options {list(COLOR_QUALITY_OPTIONS.keys())}"
+            f"--colour_quality '{args.colour_quality}' is not a known tier; "
+            f"pick one of {list(COLOR_QUALITY_OPTIONS.keys())}"
         )
     if args.max_sh_degree < 0:
-        raise AttributeError("The number of spherical harmonics must be larger than 0")
+        raise AttributeError("--max_sh_degree cannot be negative")
     if args.camera_skip_rate < 0:
-        raise AttributeError("The camera skip rate must be larger than 0")
+        raise AttributeError("--camera_skip_rate cannot be negative")
     if args.generate_mesh and args.no_calculate_normals:
-        raise AttributeError("Normals are required for accurate meshing")
+        raise AttributeError("Meshing needs per-point normals; drop --no_calculate_normals")
     if args.generate_mesh and args.no_render_colours:
-        raise AttributeError("Colours are required for meshing")
+        raise AttributeError("Meshing needs rendered colours; drop --no_render_colours")
     if args.generate_mesh and args.transform_path is None:
-        raise AttributeError("Transforms are required for meshing")
+        raise AttributeError("Meshing needs camera poses; supply --transform_path")
     if not args.no_render_colours and args.transform_path is None:
         raise AttributeError(
-            "Transforms are required for rendering accurate point colours, set --no_render_colours to True to render with no colour"
+            "Rendering point colours needs camera poses: supply "
+            "--transform_path, or pass --no_render_colours to skip the sweep"
         )
     if args.visibility_threshold < 0.0 or args.visibility_threshold > 1.0:
-        raise AttributeError("Visible Gaussian Threshold must be between 0 and 1")
+        raise AttributeError("--visibility_threshold is a contribution fraction: it must lie in [0, 1]")
     if args.surface_distance_std is not None and args.surface_distance_std <= 0.0:
-        raise AttributeError("Surface std must be large than 0")
+        raise AttributeError("--surface_distance_std must be a positive number of deviations")
     if args.mask_path is not None and args.transform_path is None:
-        raise AttributeError("Cannot use masks when no transforms have been provided")
+        raise AttributeError("Masks pair with camera poses; --mask_path needs --transform_path")
     if args.renderer_type not in RENDERER_ALIASES:
         raise AttributeError(
-            f"Renderer of type {args.renderer_type} is not supported (use 'tile'/'cuda' or 'dense'/'python')"
+            f"Unknown --renderer_type '{args.renderer_type}' "
+            "(use 'tile'/'cuda' or 'dense'/'python')"
         )
     # Reference restricts surface distance to its CUDA renderer
     # (gauss_to_pc.py:707-708); gs2pc's tile renderer is the equivalent.
     if RENDERER_ALIASES[args.renderer_type] != "tile" and args.surface_distance_std is not None:
-        raise AttributeError("Surface distance calculations only supported in the tile renderer")
+        raise AttributeError("--surface_distance_std is only available with the tile renderer")
 
 
 def settings_from_args(args: argparse.Namespace) -> GaussPointCloudSettings:
@@ -257,8 +292,11 @@ def settings_from_args(args: argparse.Namespace) -> GaussPointCloudSettings:
         save_sweep=args.save_sweep,
         load_sweep=args.load_sweep,
         shard_axis=args.shard_axis,
+        auto_capacity=args.auto_capacity,
         render=RenderConfig(
             slots_per_gaussian=args.tile_slots,
+            slots_small=args.tile_slots_small,
+            big_cap=args.big_window_cap,
             max_pairs_per_tile=args.max_pairs_per_tile,
             use_pallas=args.pallas,
         ),

@@ -30,6 +30,34 @@ def honour_platform_env() -> None:
         pass
 
 
+# Platform names that denote real TPU hardware.  ``jax.default_backend()``
+# is NOT a reliable TPU probe: tunnelled/experimental PJRT plugins register
+# under their own platform name (the driver's backend reports 'axon'), and
+# gating the Pallas kernel on the literal string "tpu" would silently fall
+# back to the XLA blend — or worse, flip a forced kernel run into interpret
+# mode — on exactly the hardware the kernel exists for.
+_TPU_PLATFORMS = frozenset({"tpu", "axon"})
+
+
+def is_tpu_backend() -> bool:
+    """True when the default JAX device is a TPU chip (any plugin name).
+
+    Checks the device's platform against a known-TPU allowlist and, as a
+    forward-compatible fallback, whether its ``device_kind`` self-describes
+    as a TPU (e.g. "TPU v5e").  Never raises: returns False when jax is
+    unavailable or uninitialisable.
+    """
+    try:
+        import jax
+
+        dev = jax.devices()[0]
+    except Exception:
+        return False
+    plat = (getattr(dev, "platform", "") or "").lower()
+    kind = (getattr(dev, "device_kind", "") or "").lower()
+    return plat in _TPU_PLATFORMS or "tpu" in kind
+
+
 def fetch_sync(out) -> None:
     """Honest device sync: fetch one element of one output leaf.
 
