@@ -66,7 +66,7 @@ class AlignedPairs(NamedTuple):
     ~570 ms/cam at 1M Gaussians / 720p; this gather build is ~10x less)."""
 
     pair_tab: jnp.ndarray  # (16, L_al) f32 packed per-pair rows, transposed
-    sid: jnp.ndarray  # (L_al,) int32 pair slot id g*S+k (P*S = sentinel)
+    gid: jnp.ndarray  # (L_al,) int32 Gaussian id per pair (P = sentinel)
     starts: jnp.ndarray  # (NTP,) int32 aligned run start per tile
     counts: jnp.ndarray  # (NTP,) int32 true (capped) run length per tile
     total: jnp.ndarray  # () int32 — aligned pairs actually occupied (prefix)
@@ -78,15 +78,13 @@ _WINDOW = 1 << 20  # rows per dynamic prefix window
 def build_aligned_pairs(
     table: jnp.ndarray,  # (P, 16) packed per-Gaussian table (ORIGINAL order)
     keys: jnp.ndarray,  # (L,) sorted tile keys (sentinel = big)
-    pair_sid: jnp.ndarray,  # (L,) slot id (orig_gaussian * S + k) per pair
-    slots: int,  # S — slots per Gaussian in the sid packing
+    pair_gid: jnp.ndarray,  # (L,) Gaussian id per sorted pair (P = sentinel)
     num_tiles_pad: int,
     run_cap: int,
     run_chunk: int,
 ) -> AlignedPairs:
     L = keys.shape[0]
     P = table.shape[0]
-    NS = P * slots
     NTP = num_tiles_pad
     rs = run_chunk
 
@@ -123,15 +121,15 @@ def build_aligned_pairs(
     # Sentinel row P: zeros (opacity 0 — contributes nothing if ever read).
     sentinel = jnp.zeros((1, TABLE_LANES), table.dtype)
     table_ext = jnp.concatenate([table, sentinel])
-    # Row-major view of the sorted sids for the chunk fetch: chunk c needs
+    # Row-major view of the sorted gids for the chunk fetch: chunk c needs
     # 128 CONSECUTIVE elements starting at src0[c], i.e. (a rotation of) two
     # adjacent rows of this view.
     # Rows needed per chunk fetch: worst-case lane offset 127 plus rs slots.
     n_fetch_rows = (rs + 127) // 128 + 1
     L_rows = -(-(L + 1) // 128) + n_fetch_rows - 1
-    sid_rows = jnp.zeros((L_rows, 128), jnp.int32)
-    sid_rows = jax.lax.dynamic_update_slice(
-        sid_rows.reshape(-1), pair_sid, (0,)
+    gid_rows = jnp.zeros((L_rows, 128), jnp.int32)
+    gid_rows = jax.lax.dynamic_update_slice(
+        gid_rows.reshape(-1), pair_gid, (0,)
     ).reshape(L_rows, 128)
 
     # Fill the aligned table over dynamic PREFIX WINDOWS: occupied slots are
@@ -141,7 +139,7 @@ def build_aligned_pairs(
     n_win_cap = L_al // W
     CW = W // rs  # chunks per window
     tabT0 = jnp.zeros((TABLE_LANES, L_al), table.dtype)
-    sid0 = jnp.full((L_al,), NS, jnp.int32)
+    gid0 = jnp.full((L_al,), P, jnp.int32)
     lane = jnp.arange(rs, dtype=jnp.int32)
 
     def win_cond(state):
@@ -149,21 +147,21 @@ def build_aligned_pairs(
         return (w * W < aligned_total) & (w < n_win_cap)
 
     def win_body(state):
-        w, tabT, sid_al = state
+        w, tabT, gid_al = state
         c0 = w * CW
         ch = c0 + jnp.arange(CW, dtype=jnp.int32)
         tile_c = tile_of_chunk[ch]  # (CW,) small gathers only
         base_c = ch * rs - astarts[tile_c]  # rank of the chunk's first slot
         count_c = counts[tile_c]
         src0 = jnp.clip(starts[tile_c] + base_c, 0, L)  # run start per chunk
-        # Chunk sid fetch as ROW gathers + a barrel rotate: each chunk's
-        # 128 consecutive sorted sids span two adjacent 128-wide rows;
+        # Chunk gid fetch as ROW gathers + a barrel rotate: each chunk's
+        # 128 consecutive sorted gids span two adjacent 128-wide rows;
         # rotating left by src0 % 128 needs 7 select+static-roll rounds —
         # ~10x cheaper than a per-element gather (which runs at ~9 ms/M)
         # and ~4x cheaper than a vmap of dynamic_slices (serial loop).
         q = src0 // 128
         wide = jnp.concatenate(
-            [sid_rows[q + i] for i in range(n_fetch_rows)], axis=1
+            [gid_rows[q + i] for i in range(n_fetch_rows)], axis=1
         )  # (CW, >= rs + 128)
         shift = src0 % 128
         for bit in (64, 32, 16, 8, 4, 2, 1):
@@ -171,37 +169,34 @@ def build_aligned_pairs(
             wide = jnp.where((shift & bit)[:, None] != 0, rolled, wide)
         runs = wide[:, :rs]
         valid = (base_c[:, None] + lane[None, :]) < count_c[:, None]
-        sid_w = jnp.where(valid, runs, NS).reshape(W)
-        rows = table_ext[jnp.minimum(sid_w // slots, P)]  # (W, 16) row gather
+        gid_w = jnp.where(valid, runs, P).reshape(W)
+        rows = table_ext[jnp.minimum(gid_w, P)]  # (W, 16) row gather
         tabT = jax.lax.dynamic_update_slice(tabT, rows.T, (0, w * W))
-        sid_al = jax.lax.dynamic_update_slice(sid_al, sid_w, (w * W,))
-        return w + 1, tabT, sid_al
+        gid_al = jax.lax.dynamic_update_slice(gid_al, gid_w, (w * W,))
+        return w + 1, tabT, gid_al
 
-    _, pair_tab, sid_al = jax.lax.while_loop(
-        win_cond, win_body, (jnp.int32(0), tabT0, sid0)
+    _, pair_tab, gid_al = jax.lax.while_loop(
+        win_cond, win_body, (jnp.int32(0), tabT0, gid0)
     )
 
     return AlignedPairs(
         pair_tab=pair_tab,
-        sid=sid_al,
+        gid=gid_al,
         starts=astarts,
         counts=counts,
         total=aligned_total,
     )
 
 
-def _cum_excl_lane_rev(x, identity, op, rs):
-    """Suffix (right-to-left) Hillis-Steele scan + exclusive shift."""
-    col = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
-    acc = x
-    s = 1
-    while s < rs:
-        # roll(x, -s) == roll(x, rs - s); pltpu.roll wants shift >= 0
-        rolled = pltpu.roll(acc, rs - s, axis=1)
-        acc = op(acc, jnp.where(col >= rs - s, identity, rolled))
-        s *= 2
-    excl = jnp.where(col >= rs - 1, identity, pltpu.roll(acc, rs - 1, axis=1))
-    return acc, excl
+def _lane_bcast_last(x, rs):
+    """Broadcast the last lane across all lanes ((TPX, rs) -> (TPX, rs)).
+
+    Replaces the v2 suffix-scan trick for lane-replicating a full-chunk
+    reduction: for an INCLUSIVE scan `inc`, inc[:, -1] already holds the
+    whole-chunk fold, and one slice+broadcast costs ~2 vector ops where
+    the suffix scan cost log2(rs) roll+select+op rounds (~21 ops at
+    rs=128 — over a quarter of the fast path's VPU work)."""
+    return jnp.broadcast_to(x[:, rs - 1 : rs], x.shape)
 
 
 def _cum_excl_lane(x, identity, op, rs):
@@ -394,14 +389,10 @@ def _blend_kernel(
 
             def fast(_):
                 # No trigger in this chunk: every ok pair contributes and
-                # the done flags are unchanged.  Total chunk product is
-                # replicated to every lane without any broadcast via
-                # forward-inclusive x suffix-exclusive product scans.
-                _, sp_excl = _cum_excl_lane_rev(
-                    1.0 - a0, jnp.float32(1.0), jax.lax.mul, rs
-                )
+                # the done flags are unchanged.  The chunk's total product
+                # is the inclusive scan's last lane, broadcast.
                 w = a0 * t_before
-                t_new = T * (cp_inc * sp_excl)
+                t_new = T * _lane_bcast_last(cp_inc, rs)
                 return w, t_new, done_ref[:]
 
             def slow(_):
@@ -416,17 +407,11 @@ def _blend_kernel(
                 cpu_inc, _ = _cum_excl_lane(
                     1.0 - a_used, jnp.float32(1.0), jax.lax.mul, rs
                 )
-                _, spu_exc = _cum_excl_lane_rev(
-                    1.0 - a_used, jnp.float32(1.0), jax.lax.mul, rs
-                )
-                t_new = T * (cpu_inc * spu_exc)
-                trg = trigger.astype(jnp.float32)
-                trg_inc, _ = _cum_excl_lane(trg, jnp.float32(0.0), jax.lax.max, rs)
-                _, trg_sexc = _cum_excl_lane_rev(
-                    trg, jnp.float32(0.0), jax.lax.max, rs
-                )
+                t_new = T * _lane_bcast_last(cpu_inc, rs)
+                # A pixel that triggered ANYWHERE in the chunk is done for
+                # all later chunks (lane-invariant any = scan's last lane).
                 done_new = jnp.maximum(
-                    done_ref[:], jnp.maximum(trg_inc, trg_sexc)
+                    done_ref[:], _lane_bcast_last(seen_inc, rs)
                 )
                 return w, t_new, done_new
 

@@ -9,23 +9,27 @@ shared-memory batches and CAS-loop float atomics for per-Gaussian maxima.
 TPU mapping (all fixed shapes, no atomics):
 
 1.  preprocess: vectorised jnp over the Gaussian axis (ops/projection.py).
-2.  sort key = (tile, depth-bits, sid): positive-f32 depth bits are
+2.  sort key = (tile, depth-bits, gid): positive-f32 depth bits are
     order-isomorphic to depth — the CUDA 64-bit [tileID|depth] key split
     across sort operands (no depth argsort, no reorder pass).
-3.  pair expansion with a static per-Gaussian slot budget S: slot k of
-    Gaussian g maps to the k-th cell of a window of its tile rect centred
-    on its projected centre.  Gaussians covering more than S tiles are
-    truncated to the S nearest tiles (the reference has no cap; S is a
-    quality/perf knob — raise it for scenes with giant splats, or cull
-    them as the reference recommends).
+3.  EXACT pair expansion on a static budget: per-Gaussian tile counts are
+    waterfilled to fit the pair budget L (full rects whenever the scene's
+    total coverage fits — the common case — so the emitted pair set then
+    EQUALS duplicateWithKeys'), offsets are a prefix sum, and pair j
+    recovers (gaussian, tile) with a scatter-index + running-max and a
+    window decode.  Oversubscribed scenes degrade uniformly (every
+    Gaussian keeps the tiles nearest its centre) and the loss is counted
+    and reported (the reference has no cap and instead OOM-retries).
 4.  stable lax.sort by int32 tile key -> per-tile contiguous runs;
     searchsorted yields (start, count) per tile — CUDA's identifyTileRanges.
 5.  blend: scan over tile batches x run chunks; each step blends a
     (tile_batch, 256 px, run_chunk) block with exact CUDA alpha/early-stop
     semantics (ops/blend.py).  Colour accumulation is an MXU matmul.
 6.  per-Gaussian (max contribution, argmax pixel) and min surface distance
-    become segment_max/segment_min reductions over emitted per-pair values
-    — deterministic where the CUDA kernel raced (forward.cu:463-471).
+    become windowed scatter-max/min reductions over emitted per-pair
+    values — max/min are exactly associative, so collision order cannot
+    change results, deterministic where the CUDA kernel raced
+    (forward.cu:463-471).
 
 Per-tile runs are capped at R_cap *front-to-back*: beyond a few thousand
 front Gaussians, transmittance is ~0 and the CUDA kernel would have
@@ -35,6 +39,7 @@ early-exited anyway, so the dropped tail is invisible.
 from __future__ import annotations
 
 
+import math
 from typing import NamedTuple, Optional
 
 import jax
@@ -52,12 +57,25 @@ class TileConfig(NamedTuple):
     width_pad: int
     height_pad: int
     tile: int = 16
-    slots: int = 16  # S: window size (candidate tiles per big Gaussians)
-    slots_small: int = 4  # SA: window size for rect-covered (small) Gaussians
-    big_cap: int = 0  # max Gaussians granted the full S window (0 = P // 4)
+    slots: int = 16  # legacy budget input: see pair_budget_for
+    slots_small: int = 4  # legacy budget input: see pair_budget_for
+    big_cap: int = 0  # legacy budget input (0 = P // 4): see pair_budget_for
+    pair_budget: int = 0  # L: static splat-tile pair capacity (0 = derive)
     run_cap: int = 4096  # R_cap: max pairs blended per tile
     run_chunk: int = 128  # Rs: pairs per inner step
     tile_batch: int = 256  # TB: tiles per outer step
+
+    def pair_budget_for(self, p: int) -> int:
+        """Static pair-list length for a P-Gaussian scene.
+
+        ``pair_budget`` wins when set; otherwise the budget is derived from
+        the legacy window knobs (P*slots_small + big_cap*slots — the exact
+        pair-list length the old two-class window expansion produced), so
+        raising those knobs still buys capacity."""
+        if self.pair_budget > 0:
+            return max(self.pair_budget, p)
+        b_cap = self.big_cap if self.big_cap > 0 else max(p // 4, 256)
+        return p * min(self.slots_small, self.slots) + min(b_cap, p) * self.slots
 
     @property
     def grid_w(self) -> int:
@@ -81,187 +99,256 @@ class TileConfig(NamedTuple):
         return min(self.tile_batch, max(self.num_tiles, 1))
 
 
-def _window_keys(rmin, rmax, xy, r_alpha_sq, valid, s_win: int, cfg: TileConfig):
-    """Tile keys for an s_win-slot window centred on each Gaussian's tile.
+def _win_dims(rw, rh, s_cap):
+    """Aspect-following window dims holding at most s_cap tiles.
 
-    Returns (keys (s_win, N) int32 with _KEY_SENTINEL for dead slots,
-    covered (N,) bool — whether the window spans the WHOLE tile rect).
-    SLOT-MAJOR layout: the Gaussian axis is minor, so every elementwise op
-    runs on full 128-lane vectors and the final reshape(-1) is free —
-    the (N, s_win) variant paid lane padding on every op plus an
-    interleaving relayout at the flatten (~40 ms/cam at 1M Gaussians)."""
-    rw = rmax[:, 0] - rmin[:, 0]
-    rh = rmax[:, 1] - rmin[:, 1]
-    s_w = jnp.clip(rw, 1, s_win)
-    s_h = jnp.clip(jnp.minimum(rh, s_win // jnp.maximum(s_w, 1)), 1, s_win)
-    covered = (s_w >= rw) & (s_h >= rh)
-
-    # Window origin: centred on the Gaussian's own tile, clamped into rect.
-    ctx = jnp.clip(
-        jnp.floor(xy[:, 0] / cfg.tile).astype(jnp.int32), rmin[:, 0], rmax[:, 0] - 1
-    )
-    cty = jnp.clip(
-        jnp.floor(xy[:, 1] / cfg.tile).astype(jnp.int32), rmin[:, 1], rmax[:, 1] - 1
-    )
-    ox = jnp.clip(ctx - s_w // 2, rmin[:, 0], jnp.maximum(rmax[:, 0] - s_w, rmin[:, 0]))
-    oy = jnp.clip(cty - s_h // 2, rmin[:, 1], jnp.maximum(rmax[:, 1] - s_h, rmin[:, 1]))
-
-    k = jnp.arange(s_win, dtype=jnp.int32)[:, None]  # (s_win, 1)
-    den = jnp.maximum(s_w, 1)[None, :]
-    dx = k % den  # (s_win, N)
-    dy = k // den
-    slot_ok = valid[None, :] & (dy < s_h[None, :])
-
-    # Circle-vs-tile test (AdR-Gaussian-style): drop slots whose tile rect
-    # lies entirely beyond the (adaptive) radius — their best-case alpha is
-    # below the blend's 1/255 cutoff, so this culls pairs exactly.
-    tile_x = ox[None, :] + dx
-    tile_y = oy[None, :] + dy
-    px = xy[None, :, 0]
-    py = xy[None, :, 1]
-    cx = jnp.clip(
-        px, tile_x.astype(jnp.float32) * cfg.tile,
-        tile_x.astype(jnp.float32) * cfg.tile + (cfg.tile - 1),
-    )
-    cy = jnp.clip(
-        py, tile_y.astype(jnp.float32) * cfg.tile,
-        tile_y.astype(jnp.float32) * cfg.tile + (cfg.tile - 1),
-    )
-    ddx = cx - px
-    ddy = cy - py
-    slot_ok = slot_ok & (ddx * ddx + ddy * ddy <= r_alpha_sq[None, :])
-
-    tile_id = tile_y * cfg.grid_w + tile_x
-    keys = jnp.where(slot_ok, tile_id, _KEY_SENTINEL)
-    return keys, covered
-
-
-def _win_dims(rw, rh, s_win: int):
-    """Emitted window dims for the s_win-slot window (same formula as
-    _window_keys)."""
-    s_w = jnp.clip(rw, 1, s_win)
-    s_h = jnp.clip(jnp.minimum(rh, s_win // jnp.maximum(s_w, 1)), 1, s_win)
+    The window is as wide as the rect allows (up to s_cap), then as tall
+    as the remaining budget allows; kept area is monotone nondecreasing
+    in s_cap, which the waterfill binary search relies on.  s_cap may be
+    a traced scalar."""
+    s_w = jnp.clip(rw, 1, s_cap)
+    s_h = jnp.clip(jnp.minimum(rh, s_cap // jnp.maximum(s_w, 1)), 1, s_cap)
     return s_w, s_h
 
 
-def _build_pairs(prep, cfg: TileConfig):
-    """Expand Gaussians into tile-sorted (key, sid) pair lists.
+def _waterfill_cap(rw, rh, ok_g, budget: int, grid_area: int):
+    """Largest uniform per-Gaussian tile cap whose kept area fits budget.
 
-    TWO-CLASS slot budget: every Gaussian whose tile rect fits inside the
-    small slots_small-window (the vast majority — splats average ~3 tiles)
-    expands only slots_small candidate slots; the few big ones are gathered
-    into a side array of at most big_cap rows with the full S-slot window
-    (overflow beyond big_cap falls back to the small window).  This shrinks
-    the global sort from P*S to P*slots_small + big_cap*S keys — the CUDA
-    analogue expands exact per-Gaussian counts via prefix sums
-    (duplicateWithKeys, rasterizer_impl.cu:69-110), which needs dynamic
-    shapes TPUs don't have.
+    The CUDA pipeline expands EXACT per-Gaussian tile counts via a prefix
+    sum (duplicateWithKeys, rasterizer_impl.cu:69-110) into a dynamically
+    sized pair list; on TPU the list length is a static budget L, so the
+    per-Gaussian counts are waterfilled: every Gaussian keeps a window of
+    at most s_cap tiles, with s_cap the largest value whose total kept
+    area fits L.  When the scene's total rect area fits the budget the
+    expansion is EXACT (full rects, reference semantics, zero
+    truncation); oversubscribed scenes degrade uniformly instead of
+    per-class, and the loss is counted and reported."""
 
-    The sort key is (tile, depth-bits, sid) — positive-f32 depth bits are
-    order-isomorphic to depth, exactly the CUDA [tileID|depth] 64-bit key
-    split across operands; sid breaks exact-depth ties by Gaussian id.
-    Expansion therefore runs in ORIGINAL Gaussian order (no depth argsort,
-    no reorder gathers).  sid = original_gaussian_id * S + slot_k: it
-    recovers the Gaussian (sid // S, indexing the original-order table) and
-    gives every real pair its own cell of a (P, S) slot table, so the
-    per-Gaussian max/argmax/min reductions are conflict-free scatter-sets
-    + lane reductions instead of gathers + scatter-max.
+    def kept_sum(s):
+        s_w, s_h = _win_dims(rw, rh, s)
+        # f32 sum: exact ints only below 2^24, so leave slack below the
+        # budget for rounding; the offset cumsum clamps exactly anyway.
+        return jnp.sum(jnp.where(ok_g, (s_w * s_h).astype(jnp.float32), 0.0))
 
-    Returns (sorted_keys (L,), sorted_sid (L,), win_dropped () int32 —
-    candidate tiles truncated away by the slot windows this camera).
-    """
-    S = cfg.slots
-    SA = min(cfg.slots_small, S)
-    P = prep.valid.shape[0]
-    if P * S >= 2**31:
-        raise ValueError("P * slots must fit in int32")
-    gid = jnp.arange(P, dtype=jnp.int32)
-    depth_bits = jax.lax.bitcast_convert_type(prep.depth, jnp.int32)
+    # Slack for f32 rounding in kept_sum (XLA reduces in trees: relative
+    # error ~ eps * log2(N)); the offset cumsum clamps exactly anyway.
+    budget_f = jnp.float32(budget) - (64.0 + budget * 1e-5)
+    lo = jnp.int32(1)
+    hi = jnp.int32(grid_area)
+    for _ in range(max(1, math.ceil(math.log2(max(grid_area, 2)))) + 1):
+        mid = (lo + hi + 1) // 2
+        fits = kept_sum(mid) <= budget_f
+        lo = jnp.where(fits, mid, lo)
+        hi = jnp.where(fits, hi, mid - 1)
+    return lo
 
-    keys_a, covered = _window_keys(
-        prep.rect_min, prep.rect_max, prep.xy, prep.r_alpha_sq,
-        prep.valid, SA, cfg,
+
+def coverage_need(
+    scene_arrays, cameras, cfg: TileConfig,
+    calc_surface_distance: bool = True, antialiasing: bool = False,
+):
+    """Max per-camera splat-tile coverage — the exact pair-list length a
+    full expansion needs (what CUDA's prefix sum allocates dynamically,
+    rasterizer_impl.cu:297-322).  Preprocess-only and cheap (no
+    expansion, no sort): jit it host-side once to size
+    TileConfig.pair_budget before tracing the sweep."""
+    import dataclasses as _dc
+
+    means, cov_factors, opacities, _, alive = scene_arrays
+
+    def one(carry, cam):
+        prep = preprocess(
+            means, cov_factors, opacities, alive,
+            cam.viewmatrix, cam.projmatrix, cam.tanfovx, cam.tanfovy,
+            cam.focal_x, cam.focal_y, cam.width, cam.height,
+            tile=cfg.tile, antialiasing=antialiasing,
+            adaptive_radius=not calc_surface_distance,
+        )
+        rw = prep.rect_max[:, 0] - prep.rect_min[:, 0]
+        rh = prep.rect_max[:, 1] - prep.rect_min[:, 1]
+        ok = prep.valid & (rw > 0) & (rh > 0)
+        need = jnp.sum(jnp.where(ok, (rw * rh).astype(jnp.float32), 0.0))
+        return carry, need
+
+    cams_nomask = _dc.replace(cameras, mask=None)
+    _, needs = jax.lax.scan(one, 0, cams_nomask)
+    return jnp.max(needs)
+
+
+# Hard ceiling for the auto-sized pair budget: bounds the sort operands,
+# the aligned Pallas table (64 B/pair) and the per-pair value cells to a
+# few GB of HBM.  Scenes needing more degrade via the reported waterfill.
+PAIR_BUDGET_CEIL = 1 << 25
+
+
+def auto_pair_budget(
+    scene_arrays, cameras, cfg: TileConfig,
+    calc_surface_distance: bool = True,
+) -> int:
+    """Probe coverage and pick a power-of-two pair budget covering it.
+
+    Power-of-two bucketing keeps recompiles rare across runs; the +2%
+    margin absorbs the probe's f32 rounding.  Needs beyond the HBM
+    ceiling clamp (and the sweep's truncation counters report the
+    loss)."""
+    need = float(
+        jax.jit(
+            lambda a, c: coverage_need(
+                a, c, cfg, calc_surface_distance=calc_surface_distance
+            )
+        )(scene_arrays, cameras)
     )
-    sid_a = gid[None, :] * S + jnp.arange(SA, dtype=jnp.int32)[:, None]
+    want = int(need * 1.02) + 4096
+    budget = 1 << max(14, math.ceil(math.log2(max(want, 2))))
+    return min(budget, PAIR_BUDGET_CEIL)
 
-    # Window-truncation diagnostic: QUALITY-relevant candidate tiles each
-    # valid Gaussian covers beyond the window actually emitted for it.
-    # "Quality-relevant" = within the alpha-cutoff radius radius_q: pairs
-    # beyond it can only carry alpha < 1/255, which the blend skips — the
-    # reference iterates them but they change nothing, so counting them
-    # would flag clean renders as truncated.  (Surface-distance coverage
-    # can still shrink beyond radius_q; that loss is second-order.)
-    rw = prep.rect_max[:, 0] - prep.rect_min[:, 0]
-    rh = prep.rect_max[:, 1] - prep.rect_min[:, 1]
+
+def _build_pairs(prep, cfg: TileConfig):
+    """Expand Gaussians into tile-sorted (key, gid) pair lists — the exact
+    prefix-sum expansion of duplicateWithKeys (rasterizer_impl.cu:69-110)
+    on a static pair budget.
+
+    Per-Gaussian tile counts are waterfilled to fit the budget
+    (see _waterfill_cap); offsets are an exclusive cumsum; pair j recovers
+    its Gaussian via a scatter-one-at-offset + cumsum (the static-shape
+    inverse of the prefix sum) and its tile via k = j - offset decoded
+    over a centre-clamped window of the Gaussian's rect.  All per-pair
+    Gaussian attributes ride ONE packed row gather.
+
+    The sort key is (tile, depth-bits, gid) — positive-f32 depth bits are
+    order-isomorphic to depth, the CUDA [tileID|depth] 64-bit key split
+    across operands; gid breaks exact-depth ties deterministically.
+
+    Returns (sorted_keys (L,), sorted_gid (L,) int32 with P as the
+    sentinel for dead pairs, win_dropped () int32 — quality-relevant
+    candidate tiles truncated by the waterfill this camera).
+    """
+    P = prep.valid.shape[0]
+    L = cfg.pair_budget_for(P)
+    if L >= 2**31:
+        raise ValueError("pair budget must fit in int32")
+    grid_area = max(cfg.grid_w * cfg.grid_h, 1)
     tile = cfg.tile
+
+    rmin, rmax, xy = prep.rect_min, prep.rect_max, prep.xy
+    rw = rmax[:, 0] - rmin[:, 0]
+    rh = rmax[:, 1] - rmin[:, 1]
+    ok_g = prep.valid & (rw > 0) & (rh > 0)
+
+    s_cap = _waterfill_cap(rw, rh, ok_g, L, grid_area)
+    s_w, s_h = _win_dims(rw, rh, s_cap)
+    cnt = jnp.where(ok_g, s_w * s_h, 0)
+    off = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(cnt)[:-1].astype(jnp.int32)]
+    )
+
+    # Window origin: centred on the Gaussian's own tile, clamped into rect.
+    ctx = jnp.clip(
+        jnp.floor(xy[:, 0] / tile).astype(jnp.int32), rmin[:, 0], rmax[:, 0] - 1
+    )
+    cty = jnp.clip(
+        jnp.floor(xy[:, 1] / tile).astype(jnp.int32), rmin[:, 1], rmax[:, 1] - 1
+    )
+    ox = jnp.clip(
+        ctx - s_w // 2, rmin[:, 0], jnp.maximum(rmax[:, 0] - s_w, rmin[:, 0])
+    )
+    oy = jnp.clip(
+        cty - s_h // 2, rmin[:, 1], jnp.maximum(rmax[:, 1] - s_h, rmin[:, 1])
+    )
+
+    # Quality-relevant truncation diagnostic: candidate tiles within the
+    # alpha-cutoff radius radius_q that the emitted window does not cover.
+    # Pairs beyond radius_q carry alpha < 1/255, which the blend skips —
+    # the reference iterates them but they change nothing, so counting
+    # them would flag clean renders as truncated.
     qminx = jnp.maximum(
-        prep.rect_min[:, 0],
-        jnp.floor((prep.xy[:, 0] - prep.radius_q) / tile).astype(jnp.int32),
+        rmin[:, 0],
+        jnp.floor((xy[:, 0] - prep.radius_q) / tile).astype(jnp.int32),
     )
     qmaxx = jnp.minimum(
-        prep.rect_max[:, 0],
-        jnp.floor(
-            (prep.xy[:, 0] + prep.radius_q + tile - 1) / tile
-        ).astype(jnp.int32),
+        rmax[:, 0],
+        jnp.floor((xy[:, 0] + prep.radius_q + tile - 1) / tile).astype(jnp.int32),
     )
     qminy = jnp.maximum(
-        prep.rect_min[:, 1],
-        jnp.floor((prep.xy[:, 1] - prep.radius_q) / tile).astype(jnp.int32),
+        rmin[:, 1],
+        jnp.floor((xy[:, 1] - prep.radius_q) / tile).astype(jnp.int32),
     )
     qmaxy = jnp.minimum(
-        prep.rect_max[:, 1],
-        jnp.floor(
-            (prep.xy[:, 1] + prep.radius_q + tile - 1) / tile
-        ).astype(jnp.int32),
+        rmax[:, 1],
+        jnp.floor((xy[:, 1] + prep.radius_q + tile - 1) / tile).astype(jnp.int32),
     )
     qw = jnp.maximum(qmaxx - qminx, 0)
     qh = jnp.maximum(qmaxy - qminy, 0)
     q_area = qw * qh
-
-    def q_lost(s_win: int):
-        s_w, s_h = _win_dims(rw, rh, s_win)
-        kept = jnp.minimum(s_w, qw) * jnp.minimum(s_h, qh)
-        return jnp.maximum(q_area - kept, 0)
-
-    if SA >= S:
-        win_dropped = jnp.sum(jnp.where(prep.valid & ~covered, q_lost(S), 0))
-        keys = keys_a.reshape(-1)
-        sids = sid_a.reshape(-1)
-        ranks = jnp.broadcast_to(depth_bits[None, :], (SA, P)).reshape(-1)
-    else:
-        big = prep.valid & ~covered
-        b_cap = cfg.big_cap if cfg.big_cap > 0 else max(P // 4, 256)
-        b_cap = min(b_cap, P)
-        # Deterministic overflow: bigs beyond b_cap keep the small window.
-        big_rank = jnp.cumsum(big) - 1
-        overflow = big & (big_rank >= b_cap)
-        sel = big & ~overflow
-        lost = jnp.where(sel, q_lost(S), q_lost(SA))
-        win_dropped = jnp.sum(jnp.where(big, lost, 0))
-        keys_a = jnp.where(
-            (prep.valid & (covered | overflow))[None, :], keys_a, _KEY_SENTINEL
-        )
-        big_idx = jnp.nonzero(sel, size=b_cap, fill_value=P)[0]
-        safe = jnp.minimum(big_idx, P - 1).astype(jnp.int32)
-        b_valid = big_idx < P
-        keys_b, _ = _window_keys(
-            prep.rect_min[safe], prep.rect_max[safe], prep.xy[safe],
-            prep.r_alpha_sq[safe], b_valid, S, cfg,
-        )
-        sid_b = safe[None, :] * S + jnp.arange(S, dtype=jnp.int32)[:, None]
-        keys = jnp.concatenate([keys_a.reshape(-1), keys_b.reshape(-1)])
-        sids = jnp.concatenate([sid_a.reshape(-1), sid_b.reshape(-1)])
-        ranks = jnp.concatenate(
-            [
-                jnp.broadcast_to(depth_bits[None, :], (SA, P)).reshape(-1),
-                jnp.broadcast_to(depth_bits[safe][None, :], (S, b_cap)).reshape(-1),
-            ]
-        )
-
-    sorted_keys, _, sorted_sid = jax.lax.sort(
-        (keys, ranks, sids), num_keys=3
+    kept_q = jnp.minimum(s_w, qw) * jnp.minimum(s_h, qh)
+    # Budget-clamp tail (f32 slack shortfall / user-set tiny budgets):
+    # windows starting at or past L lose their remainder.
+    tail_lost = jnp.where(
+        ok_g, jnp.clip(off + cnt - L, 0, cnt), 0
     )
-    return sorted_keys, sorted_sid, win_dropped.astype(jnp.int32)
+    win_dropped = jnp.sum(
+        jnp.where(ok_g, jnp.maximum(q_area - kept_q, 0), 0)
+    ) + jnp.sum(tail_lost)
+
+    # Packed per-Gaussian expansion table: ONE row gather serves every
+    # per-pair quantity.  All lanes are exact f32 values (< 2^24); the
+    # pair offset splits into hi/lo 12-bit limbs.  Row P is the sentinel.
+    gtab = jnp.zeros((P + 1, 16), jnp.float32)
+    gtab = gtab.at[:P, 0].set((off >> 12).astype(jnp.float32))
+    gtab = gtab.at[:P, 1].set((off & 0xFFF).astype(jnp.float32))
+    gtab = gtab.at[:P, 2].set(s_w.astype(jnp.float32))
+    gtab = gtab.at[:P, 3].set(ox.astype(jnp.float32))
+    gtab = gtab.at[:P, 4].set(oy.astype(jnp.float32))
+    gtab = gtab.at[:P, 5].set(xy[:, 0])
+    gtab = gtab.at[:P, 6].set(xy[:, 1])
+    gtab = gtab.at[:P, 7].set(prep.r_alpha_sq)
+    gtab = gtab.at[:P, 8].set(prep.depth)
+    gtab = gtab.at[:P, 9].set(cnt.astype(jnp.float32))
+
+    # Pair j -> Gaussian: scatter each non-empty window's ORIGINAL
+    # Gaussian index at its start offset, then a running max — pair j
+    # belongs to the last window started at or before j.  Starts of
+    # non-empty windows are strictly increasing, so the scatter is
+    # conflict-free.
+    start_ok = (cnt > 0) & (off < L)
+    gidx = jnp.arange(P, dtype=jnp.int32)
+    seg = jnp.full(L, -1, jnp.int32).at[jnp.minimum(off, L - 1)].max(
+        jnp.where(start_ok, gidx, -1)
+    )
+    gid = jax.lax.cummax(seg)  # -1 before the first window start
+
+    j = jnp.arange(L, dtype=jnp.int32)
+    rows = gtab[jnp.where(gid < 0, P, gid)]  # (L, 16) packed row gather
+    off_p = rows[:, 0].astype(jnp.int32) * 4096 + rows[:, 1].astype(jnp.int32)
+    s_w_p = jnp.maximum(rows[:, 2].astype(jnp.int32), 1)
+    cnt_p = rows[:, 9].astype(jnp.int32)
+    k = j - off_p
+    pair_ok = (gid >= 0) & (k < cnt_p)
+
+    dx = k % s_w_p
+    dy = k // s_w_p
+    tile_x = rows[:, 3].astype(jnp.int32) + dx
+    tile_y = rows[:, 4].astype(jnp.int32) + dy
+
+    # Circle-vs-tile cull (AdR-Gaussian-style): drop pairs whose tile rect
+    # lies entirely beyond the (adaptive) radius — their best-case alpha
+    # is below the blend's 1/255 cutoff, so this culls exactly.
+    px = rows[:, 5]
+    py = rows[:, 6]
+    fx = tile_x.astype(jnp.float32) * tile
+    fy = tile_y.astype(jnp.float32) * tile
+    ddx = jnp.clip(px, fx, fx + (tile - 1)) - px
+    ddy = jnp.clip(py, fy, fy + (tile - 1)) - py
+    pair_ok = pair_ok & (ddx * ddx + ddy * ddy <= rows[:, 7])
+
+    keys = jnp.where(pair_ok, tile_y * cfg.grid_w + tile_x, _KEY_SENTINEL)
+    ranks = jax.lax.bitcast_convert_type(rows[:, 8], jnp.int32)
+    gid_out = jnp.where(pair_ok, gid, P)
+
+    sorted_keys, _, sorted_gid = jax.lax.sort(
+        (keys, ranks, gid_out), num_keys=3
+    )
+    return sorted_keys, sorted_gid, win_dropped.astype(jnp.int32)
 
 
 def render_tile_camera(
@@ -318,7 +405,6 @@ def render_tile_camera(
     # concat fuses straight into the preprocess), PACKED into one row per
     # Gaussian so each run chunk costs a single row gather: lanes
     # [xy0, xy1, conic0..2, opacity, r, g, b, depth] + pad to 16.
-    # Row lookups go through sid // S, which already encodes the original id.
     table = jnp.concatenate(
         [
             prep.xy,
@@ -331,10 +417,12 @@ def render_tile_camera(
         axis=1,
     )
 
-    keys, pair_sid, win_dropped = _build_pairs(prep, cfg)
+    if cfg.width_pad * cfg.height_pad >= 2**24:
+        # Best-pixel ids ride per-pair buffers as exact f32 values.
+        raise ValueError("padded image must stay below 2^24 pixels")
+
+    keys, pair_gid, win_dropped = _build_pairs(prep, cfg)
     L = keys.shape[0]
-    S = cfg.slots
-    NS = P * S  # slot-table size; slot NS is the dump cell for masked lanes
 
     # Truncation diagnostics (float32 counters: psum-able, overflow-safe):
     # [pairs blended, window-truncated candidates, run-cap-dropped pairs].
@@ -358,7 +446,7 @@ def render_tile_camera(
 
         pallas_interpret = pallas_interpret or not is_tpu_backend()
         return _finish_pallas(
-            prep, table, keys, pair_sid, camera, cfg, mask,
+            prep, table, keys, pair_gid, camera, cfg, mask,
             white_bkgd, calc_surface_distance, pallas_interpret, P, diag,
             init_trans=init_trans,
             early_stop=early_stop,
@@ -406,11 +494,11 @@ def render_tile_camera(
         idx = start[:, None] + offs[None, :]  # (TB, Rs)
         in_run = offs[None, :] < count[:, None]
         safe = jnp.clip(idx, 0, L - 1)
-        sid = pair_sid[safe]
-        return sid, in_run
+        gid = pair_gid[safe]
+        return gid, safe, in_run
 
-    def chunk_tables(sid):
-        t = table[sid // S]  # (TB, Rs, 16) — one packed gather
+    def chunk_tables(gid):
+        t = table[gid]  # (TB, Rs, 16) — one packed gather (P clamps: masked)
         return (
             t[..., 0:2],  # xy
             t[..., 2:5],  # conic
@@ -419,15 +507,17 @@ def render_tile_camera(
             t[..., 9],  # depth
         )
 
-    # Per-pair slot tables (P, S) flattened; cell NS is the dump slot for
-    # masked lanes.  Every real pair owns a unique cell, so the scatters are
-    # plain conflict-free sets; the per-Gaussian reductions collapse to lane
-    # reductions over S at the end.
-    mtab0 = jnp.zeros(NS + 1, jnp.float32)
-    apixtab0 = jnp.zeros(NS + 1, jnp.int32)
+    # Per-PAIR value cells, indexed by position in the sorted pair list
+    # (cell L is the dump slot for masked lanes).  Every blended pair owns
+    # a unique cell, so the in-loop scatters are plain conflict-free sets;
+    # the per-Gaussian reductions happen once at the end via windowed
+    # scatter-max/min over the occupied prefix (_pair_reduce).  (m, apix)
+    # pack into ONE row per pair — scatter cost is per-transaction, so one
+    # 2-lane row scatter beats two element scatters; apix rides as an
+    # exact f32 VALUE (< 2^24).
+    matab0 = jnp.zeros((L + 1, 2), jnp.float32)
 
-    def batch_step(bufs, b):
-        mtab, apixtab = bufs
+    def batch_step(matab, b):
         tids = jax.lax.dynamic_slice_in_dim(tid_by_load, b * TB, TB)
         start = starts_all[tids]
         count = counts_all[tids]
@@ -439,13 +529,13 @@ def render_tile_camera(
         carry0 = init_carry((TB, tpx), done0=~valid_px, t0=t0)
 
         def cond(state):
-            r, carry, _, _ = state
+            r, carry, _ = state
             return (r < n_steps) & jnp.logical_not(jnp.all(carry.done))
 
         def body(state):
-            r, carry, mtab, apixtab = state
-            sid, in_run = gather_run(start, count, r)
-            xy, conic, op, col, dep = chunk_tables(sid)
+            r, carry, matab = state
+            gid, idx, in_run = gather_run(start, count, r)
+            xy, conic, op, col, dep = chunk_tables(gid)
             new_carry, w = blend_chunk(
                 carry, px, xy, conic, op, col, dep, in_run,
                 early_stop=early_stop,
@@ -453,13 +543,16 @@ def render_tile_camera(
             m = jnp.max(w, axis=1)  # (TB, Rs)
             arg = jnp.argmax(w, axis=1).astype(jnp.int32)
             apix = jnp.take_along_axis(pixid, arg, axis=1)
-            slot = jnp.where(in_run, sid, NS).reshape(-1)
-            mtab = mtab.at[slot].set(m.reshape(-1))
-            apixtab = apixtab.at[slot].set(apix.reshape(-1))
-            return r + 1, new_carry, mtab, apixtab
+            slot = jnp.where(in_run, idx, L).reshape(-1)
+            vals = jnp.stack(
+                [m.reshape(-1), apix.reshape(-1).astype(jnp.float32)],
+                axis=1,
+            )
+            matab = matab.at[slot].set(vals)
+            return r + 1, new_carry, matab
 
-        _, carry, mtab, apixtab = jax.lax.while_loop(
-            cond, body, (jnp.int32(0), carry0, mtab, apixtab)
+        _, carry, matab = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), carry0, matab)
         )
 
         bg = jnp.float32(1.0 if white_bkgd else 0.0)
@@ -473,11 +566,13 @@ def render_tile_camera(
         # Neutral (T=1) on invalid pixels so cross-device prefix products
         # stay well-defined.
         tile_T = jnp.where(valid_px, carry.transmittance, 1.0)
-        return (mtab, apixtab), (tile_col, tile_ed, tile_einv, tile_T)
+        return matab, (tile_col, tile_ed, tile_einv, tile_T)
 
-    (mtab, apixtab), (tiles_col, tiles_ed, tiles_einv, tiles_T) = jax.lax.scan(
-        batch_step, (mtab0, apixtab0), jnp.arange(NB, dtype=jnp.int32)
+    matab, (tiles_col, tiles_ed, tiles_einv, tiles_T) = jax.lax.scan(
+        batch_step, matab0, jnp.arange(NB, dtype=jnp.int32)
     )
+    # Occupied prefix: real-tile pairs sort before the sentinels.
+    n_real = jnp.searchsorted(keys, jnp.int32(cfg.num_tiles)).astype(jnp.int32)
 
     # Tiles were visited in load order; scatter back to tile-id order.
     def unshuffle(t):  # (NB, TB, ...) -> (NTP, ...) in tile-id order
@@ -504,10 +599,11 @@ def render_tile_camera(
     trans_map = untile(tiles_T) if want_trans else None
 
     # Per-Gaussian reductions (deterministic replacements for CUDA atomics):
-    # every pair wrote its own unique (gaussian, slot) cell, so max/argmax
-    # collapse to lane reductions over the S slots — no gathers, no
-    # conflict-handling scatter-max.
-    contrib, best_colour, best_pix = _slot_reduce(mtab, apixtab, image, P, S)
+    # windowed scatter-max/min over the occupied pair prefix — max and min
+    # are exactly associative, so collision order cannot change results.
+    contrib, best_colour, best_pix = _pair_reduce(
+        pair_gid, matab[:, 0], matab[:, 1], image, P, n_real
+    )
 
     if calc_surface_distance:
         if surface_ed_override is not None:
@@ -520,7 +616,9 @@ def render_tile_camera(
             ].set(ov)
         else:
             ed_tiles = tiles_ed.reshape(NTP, tpx)
-        sdtab0 = jnp.full(NS + 1, FLOAT_MAX, jnp.float32)
+        # Direct per-Gaussian scatter-min (min is exactly associative, so
+        # collisions are order-free and deterministic); row P is the dump.
+        sdtab0 = jnp.full(P + 1, FLOAT_MAX, jnp.float32)
         depth_tbl = table[:, 9]  # 1-col gathers are far cheaper than rows
 
         def surf_batch(sdtab, b):
@@ -539,14 +637,14 @@ def render_tile_camera(
 
             def body(state):
                 r, sdtab = state
-                sid, in_run = gather_run(start, count, r)
-                dep = depth_tbl[sid // S]
+                gid, _, in_run = gather_run(start, count, r)
+                dep = depth_tbl[gid]
                 dist = jnp.abs(dep[:, None, :] - ed_b[:, :, None])
                 ok = valid_px[:, :, None] & in_run[:, None, :]
                 dist = jnp.where(ok, dist, FLOAT_MAX)
                 sd = jnp.min(dist, axis=1)  # (TB, Rs)
-                slot = jnp.where(in_run, sid, NS).reshape(-1)
-                sdtab = sdtab.at[slot].set(sd.reshape(-1))
+                tgt = jnp.where(in_run, gid, P).reshape(-1)
+                sdtab = sdtab.at[tgt].min(sd.reshape(-1))
                 return r + 1, sdtab
 
             _, sdtab = jax.lax.while_loop(cond, body, (jnp.int32(0), sdtab))
@@ -555,7 +653,7 @@ def render_tile_camera(
         sdtab, _ = jax.lax.scan(
             surf_batch, sdtab0, jnp.arange(NB, dtype=jnp.int32)
         )
-        surf = jnp.min(sdtab[:NS].reshape(P, S), axis=1)
+        surf = sdtab[:P]
     else:
         surf = jnp.full(P, FLOAT_MAX, jnp.float32)
 
@@ -573,22 +671,74 @@ def render_tile_camera(
     )
 
 
-def _slot_reduce(mtab, apixtab, image, P: int, S: int):
-    """(P*S+1) slot tables -> per-Gaussian (max contribution, best colour).
+_APIX_NONE = jnp.float32(1 << 24)  # > any padded pixel id (asserted < 2^24)
 
-    Tie-break on equal contribution: lowest slot index (deterministic; the
-    reference's CUDA atomics are race-ordered, rasterizer_impl note §5)."""
-    mt = mtab[: P * S].reshape(P, S)
-    contrib = jnp.max(mt, axis=1)  # empty rows -> 0 (CUDA init semantics)
-    kbest = jnp.argmax(mt, axis=1)
-    apix = jnp.take_along_axis(
-        apixtab[: P * S].reshape(P, S), kbest[:, None], axis=1
-    )[:, 0]
-    apix = jnp.maximum(apix, 0)
-    img_flat = image.reshape(-1, 3)
-    best_colour = jnp.where(
-        (contrib > 0.0)[:, None], img_flat[apix], 0.0
+
+def _pair_reduce(
+    gid_pairs, m_pairs, apix_pairs, image, P: int, n_occupied,
+    sd_pairs=None,
+):
+    """Per-pair values -> per-Gaussian (max contribution, best colour
+    [, min surface distance]) via windowed scatter reductions over the
+    occupied pair prefix [0, n_occupied).
+
+    max/min are exactly associative and commutative in f32, so scatter
+    collisions are order-free — the deterministic replacement for the
+    CUDA CAS-loop float atomics (forward.cu:463-471).  The best pixel is
+    a second pass: among pairs matching the Gaussian's max contribution,
+    the LOWEST pixel id wins (deterministic tie-break; the reference's
+    atomics are race-ordered).  Windows are dynamic-sliced; the clamped
+    final window re-reduces a few pairs, which idempotent max/min absorb.
+    """
+    Lp = gid_pairs.shape[0]
+    W = min(1 << 20, Lp)
+    n_win_cap = -(-Lp // W)
+    with_sd = sd_pairs is not None
+    m_pairs = m_pairs[:Lp]
+    apix_pairs = apix_pairs[:Lp].astype(jnp.float32)
+
+    def cond(state):
+        w = state[0]
+        return (w * W < n_occupied) & (w < n_win_cap)
+
+    def body1(state):
+        w, ctab, sdtab = state
+        off = w * W
+        g = jax.lax.dynamic_slice_in_dim(gid_pairs, off, W)
+        m = jax.lax.dynamic_slice_in_dim(m_pairs, off, W)
+        ctab = ctab.at[g].max(m)
+        if with_sd:
+            sd = jax.lax.dynamic_slice_in_dim(sd_pairs, off, W)
+            sdtab = sdtab.at[g].min(sd)
+        return w + 1, ctab, sdtab
+
+    ctab0 = jnp.zeros(P + 1, jnp.float32)  # CUDA init: contributions >= 0
+    sdtab0 = jnp.full(P + 1 if with_sd else 1, FLOAT_MAX, jnp.float32)
+    _, ctab, sdtab = jax.lax.while_loop(
+        cond, body1, (jnp.int32(0), ctab0, sdtab0)
     )
+
+    def body2(state):
+        w, atab = state
+        off = w * W
+        g = jax.lax.dynamic_slice_in_dim(gid_pairs, off, W)
+        m = jax.lax.dynamic_slice_in_dim(m_pairs, off, W)
+        a = jax.lax.dynamic_slice_in_dim(apix_pairs, off, W)
+        win = (m > 0.0) & (m >= ctab[g])
+        atab = atab.at[g].min(jnp.where(win, a, _APIX_NONE))
+        return w + 1, atab
+
+    atab0 = jnp.full(P + 1, _APIX_NONE, jnp.float32)
+    _, atab = jax.lax.while_loop(cond, body2, (jnp.int32(0), atab0))
+
+    contrib = ctab[:P]
+    apix = jnp.where(atab[:P] < _APIX_NONE, atab[:P], 0.0).astype(jnp.int32)
+    best_colour = jnp.where(
+        (contrib > 0.0)[:, None], image.reshape(-1, 3)[apix], 0.0
+    )
+    if with_sd:
+        surf = jnp.where(jnp.isinf(sdtab[:P]), FLOAT_MAX, sdtab[:P])
+        return contrib, best_colour, apix, surf
     return contrib, best_colour, apix
 
 
@@ -612,7 +762,7 @@ def _to_tiles(flat, cfg: TileConfig, fill, dtype):
 
 
 def _finish_pallas(
-    prep, table, keys, pair_sid, camera, cfg: TileConfig, mask,
+    prep, table, keys, pair_gid, camera, cfg: TileConfig, mask,
     white_bkgd, calc_surface_distance, interpret, P, diag=None,
     init_trans=None, early_stop=True, want_trans=False,
     want_best_pix=False, surface_ed_override=None,
@@ -623,11 +773,9 @@ def _finish_pallas(
     NTP = cfg.num_tiles_pad
     Rs = cfg.run_chunk
     tpx = cfg.tile * cfg.tile
-    S = cfg.slots
-    NS = P * S
 
     pairs = build_aligned_pairs(
-        table, keys, pair_sid, slots=S,
+        table, keys, pair_gid,
         num_tiles_pad=NTP, run_cap=cfg.run_cap, run_chunk=Rs,
     )
 
@@ -664,49 +812,17 @@ def _finish_pallas(
     einv = _untile(tiles_einv, cfg)
     trans_map = _untile(tiles_T, cfg) if want_trans else None
 
-    # Per-Gaussian reductions: scatter-set each pair's (m, apix[, sd]) into
-    # its own (gaussian, slot) cell over dynamic PREFIX WINDOWS
-    # [0, pairs.total) (occupied aligned slots are contiguous; sentinel
-    # sid == NS dumps), then lane-reduce over the S slots.
-    L_al = pairs.sid.shape[0]
-    W_POST = min(1 << 20, L_al)
-    n_win_cap = -(-L_al // W_POST)
-
-    def win_cond(state):
-        w = state[0]
-        return (w * W_POST < pairs.total) & (w < n_win_cap)
-
-    def scatter_window(state):
-        w, mtab, apixtab, sdtab = state
-        off = w * W_POST
-        sid_w = jax.lax.dynamic_slice_in_dim(pairs.sid, off, W_POST)
-        m_w = jax.lax.dynamic_slice_in_dim(m_al, off, W_POST)
-        apix_w = jax.lax.dynamic_slice_in_dim(apix_al, off, W_POST)
-        mtab = mtab.at[sid_w].set(m_w)
-        apixtab = apixtab.at[sid_w].set(apix_w)
-        if calc_surface_distance:
-            sd_w = jax.lax.dynamic_slice_in_dim(sd_al, off, W_POST)
-            sdtab = sdtab.at[sid_w].set(sd_w)
-        return w + 1, mtab, apixtab, sdtab
-
-    sdtab0 = jnp.full(
-        NS + 1 if calc_surface_distance else 1, FLOAT_MAX, jnp.float32
-    )
-    _, mtab, apixtab, sdtab = jax.lax.while_loop(
-        win_cond, scatter_window,
-        (
-            jnp.int32(0),
-            jnp.zeros(NS + 1, jnp.float32),
-            jnp.zeros(NS + 1, jnp.int32),
-            sdtab0,
-        ),
-    )
-    contrib, best_colour, best_pix = _slot_reduce(mtab, apixtab, image, P, S)
-
+    # Per-Gaussian reductions: windowed scatter-max/min of per-pair
+    # (m, apix[, sd]) by Gaussian id over the occupied aligned prefix
+    # [0, pairs.total) (sentinel gid == P dumps) — see _pair_reduce.
     if calc_surface_distance:
-        surf = jnp.min(sdtab[:NS].reshape(P, S), axis=1)
-        surf = jnp.where(jnp.isinf(surf), FLOAT_MAX, surf)
+        contrib, best_colour, best_pix, surf = _pair_reduce(
+            pairs.gid, m_al, apix_al, image, P, pairs.total, sd_pairs=sd_al
+        )
     else:
+        contrib, best_colour, best_pix = _pair_reduce(
+            pairs.gid, m_al, apix_al, image, P, pairs.total
+        )
         surf = jnp.full(P, FLOAT_MAX, jnp.float32)
 
     return RenderOutput(

@@ -39,8 +39,10 @@ than T_EPS = 1e-4; (b) the per-tile ``run_cap`` truncation applies per
 SLAB, so a tile that saturates the cap blends up to D x run_cap pairs —
 strictly MORE of the scene than the single-device truncation keeps
 (closer to the uncapped exact result, not bit-equal to one device);
-(c) big_cap window-overflow truncation is likewise per-slab.  Away from
-those caps everything matches to f32 summation order.
+(c) the pair-budget waterfill applies per-slab (each slab derives its
+budget from its compacted P_slab), so an oversubscribed scene truncates
+slightly differently across device counts.  Away from those caps
+everything matches to f32 summation order.
 
 Scaling (v2): each device COMPACTS its depth slab to a fixed-size
 P_slab ~ 1.25 * P/D buffer before preprocessing, so projection, pair

@@ -187,8 +187,7 @@ def report_truncation(acc: SweepAccumulators) -> tuple[bool, bool]:
         log.warn(
             f"{win_drop:,.0f} splat-tile candidates "
             f"({100.0 * win_drop / denom:.2f}% of blended pairs) were cut "
-            "by the tile-window capacity; raise --tile_slots / "
-            "--tile_slots_small / --big_window_cap (or pass "
+            "by the pair-budget waterfill; raise --pair_budget (or pass "
             "--auto_capacity) to recover them"
         )
     if cap_material:
@@ -347,10 +346,32 @@ def convert_3dgs_to_pc(
                     slots=settings.render.slots_per_gaussian,
                     slots_small=settings.render.slots_small,
                     big_cap=settings.render.big_cap,
+                    pair_budget=settings.render.pair_budget,
                     run_cap=settings.render.max_pairs_per_tile,
                     run_chunk=settings.render.run_chunk,
                     tile_batch=settings.render.tile_batch,
                 )
+                if (
+                    cfg.pair_budget == 0
+                    and settings.renderer_type == "tile"
+                ):
+                    # Auto-size the pair budget to the scene's true
+                    # coverage — the static-shape stand-in for CUDA's
+                    # dynamic prefix-sum allocation
+                    # (rasterizer_impl.cu:297-322).  An explicit
+                    # --pair_budget skips the probe.
+                    from gs2pc.ops.rasterize import auto_pair_budget
+
+                    cfg = cfg._replace(
+                        pair_budget=auto_pair_budget(
+                            _scene_render_arrays(gaussians), cameras, cfg,
+                            calc_surface_distance=(
+                                settings.surface_distance_std is not None
+                                or settings.generate_mesh
+                            ),
+                        )
+                    )
+                    log.info(f"Pair budget (auto): {cfg.pair_budget:,}")
                 # Graceful capacity degradation (the TPU analogue of the
                 # reference's OOM retry-shrink, gauss_render.py:446-465,
                 # inverted: fixed shapes truncate instead of OOM-ing, so
@@ -367,8 +388,9 @@ def convert_3dgs_to_pc(
                         break
                     upd = {}
                     if win_mat:
-                        upd["slots"] = cfg.slots * 2
-                        upd["slots_small"] = cfg.slots_small * 2
+                        upd["pair_budget"] = (
+                            cfg.pair_budget_for(gaussians.num_gaussians) * 2
+                        )
                     if cap_mat:
                         upd["run_cap"] = cfg.run_cap * 2
                     cfg = cfg._replace(**upd)

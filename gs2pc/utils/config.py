@@ -33,9 +33,10 @@ class RenderConfig(NamedTuple):
     """
 
     tile: int = 16  # pixel tile edge
-    slots_per_gaussian: int = 16  # max (tile,gaussian) pairs per Gaussian
-    slots_small: int = 4  # window size for small (rect-covered) Gaussians
-    big_cap: int = 0  # Gaussians granted the full window (0 = P // 4)
+    slots_per_gaussian: int = 16  # legacy pair-budget input (see TileConfig)
+    slots_small: int = 4  # legacy pair-budget input (see TileConfig)
+    big_cap: int = 0  # legacy pair-budget input (0 = P // 4)
+    pair_budget: int = 0  # splat-tile pair capacity per camera (0 = derive)
     max_pairs_per_tile: int = 4096  # per-tile run cap (front-to-back)
     run_chunk: int = 128  # gaussians blended per inner step
     tile_batch: int = 256  # tiles processed per outer step
@@ -175,9 +176,10 @@ def build_parser() -> argparse.ArgumentParser:
 
     # gs2pc-specific extensions (all optional, defaults match reference flow)
     p.add_argument("--seed", type=int, default=0, help="PRNG seed for point sampling")
-    p.add_argument("--tile_slots", type=int, default=16, help="Tile-window capacity for LARGE Gaussians in the tile renderer: at most this many tiles receive a given big splat (static capacity; raise for scenes with huge splats)")
-    p.add_argument("--tile_slots_small", type=int, default=4, help="Tile-window capacity for ordinary Gaussians whose projected rect fits in a small window (most of the scene); raise if truncation warnings point here")
-    p.add_argument("--big_window_cap", type=int, default=0, help="How many Gaussians may claim the full --tile_slots window per camera (0 = a quarter of the scene); overflow falls back to the small window")
+    p.add_argument("--pair_budget", type=int, default=0, help="Static splat-tile pair capacity per camera in the tile renderer; per-Gaussian tile coverage is waterfilled to fit it (0 = derive from the tile-slot knobs, 8 pairs per Gaussian at their defaults). Raise if truncation warnings appear")
+    p.add_argument("--tile_slots", type=int, default=16, help="Legacy pair-budget input (the derived budget is tile_slots_small per Gaussian plus tile_slots for each of big_window_cap Gaussians); prefer --pair_budget")
+    p.add_argument("--tile_slots_small", type=int, default=4, help="Legacy pair-budget input; prefer --pair_budget")
+    p.add_argument("--big_window_cap", type=int, default=0, help="Legacy pair-budget input (0 = a quarter of the scene); prefer --pair_budget")
     p.add_argument("--max_pairs_per_tile", type=int, default=4096, help="Per-tile depth-run capacity in the tile renderer; the front-to-back tail beyond it is dropped")
     p.add_argument("--auto_capacity", action="store_true", help="If the render sweep reports material truncation, double the relevant tile capacities and re-render (up to two escalations)")
     p.add_argument("--num_devices", type=int, default=0, help="Number of devices to shard the camera sweep/sampler over (0 = all local devices)")
@@ -297,6 +299,7 @@ def settings_from_args(args: argparse.Namespace) -> GaussPointCloudSettings:
             slots_per_gaussian=args.tile_slots,
             slots_small=args.tile_slots_small,
             big_cap=args.big_window_cap,
+            pair_budget=args.pair_budget,
             max_pairs_per_tile=args.max_pairs_per_tile,
             use_pallas=args.pallas,
         ),

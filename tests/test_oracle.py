@@ -192,17 +192,29 @@ class TestGiantSplats:
         nd = np.asarray(out.n_dropped)
         assert nd[1] == 0  # nothing window-truncated
 
-    def test_default_slots_quantified(self, setup):
-        """Default S=16 windows truncate the giant splats; the error must
-        be (a) counted by the diagnostics and (b) bounded."""
+    def test_default_budget_renders_giants_exactly(self, setup):
+        """The waterfilled exact expansion covers the image-filling splats
+        within the DEFAULT pair budget — the scenario that broke the old
+        per-Gaussian slot windows (round-1 verdict: background splats were
+        the likeliest real-scene quality regression)."""
         scene, cam, wp, hp, ref = setup
         out = _tile_render(scene, cam, wp, hp, slots=16, slots_small=4)
         nd = np.asarray(out.n_dropped)
-        assert nd[1] > 50  # many candidate tiles dropped
+        assert nd[1] == 0  # nothing truncated at the default budget
         p = psnr(np.asarray(out.image)[:160, :160], ref["image"])
-        # On this adversarial scene (4 image-filling splats) default
-        # windows hurt badly (~13 dB) — that is exactly why the counters
-        # and --auto_capacity exist.  Pinned loosely to catch regressions
-        # in either direction (a jump ABOVE ~40 dB would mean the counter
-        # or the fixture stopped exercising truncation).
+        assert p > 45.0, f"giant-splat scene, default budget: {p:.1f} dB"
+
+    def test_starved_budget_quantified(self, setup):
+        """A deliberately starved --pair_budget must (a) count the dropped
+        candidate tiles and (b) degrade boundedly — the graceful-
+        degradation contract behind the truncation warning."""
+        scene, cam, wp, hp, ref = setup
+        out = _tile_render(scene, cam, wp, hp, pair_budget=256)
+        nd = np.asarray(out.n_dropped)
+        assert nd[1] > 50  # many candidate tiles dropped, and counted
+        p = psnr(np.asarray(out.image)[:160, :160], ref["image"])
+        # 4 image-filling splats cut to a handful of tiles each hurts
+        # badly — that is exactly why the counter and --auto_capacity
+        # exist.  Pinned loosely in both directions: a jump ABOVE ~40 dB
+        # would mean the fixture stopped exercising truncation.
         assert 5.0 < p < 40.0, f"truncated PSNR {p:.1f} dB"

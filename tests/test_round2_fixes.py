@@ -198,7 +198,7 @@ class TestTruncationObservability:
 
     def test_underprovisioned_counters_nonzero(self):
         acc = self._render_acc(
-            dict(slots=4, slots_small=2, big_cap=8, run_cap=64,
+            dict(slots=4, slots_small=2, big_cap=8, run_cap=16,
                  run_chunk=64, tile_batch=8)
         )
         nd = np.asarray(acc.n_dropped)
@@ -227,7 +227,7 @@ class TestTruncationObservability:
         win_mat, cap_mat = report_truncation(acc)
         assert win_mat and cap_mat
         out = capsys.readouterr().out
-        assert "--tile_slots" in out
+        assert "--pair_budget" in out
         assert "--max_pairs_per_tile" in out
 
     def test_no_warning_below_threshold(self, capsys):

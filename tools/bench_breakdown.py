@@ -57,38 +57,73 @@ def main():
     )
 
     @jax.jit
-    def binning(means, covf, op, col, alive):
-        prep = preprocess(
+    def prep_only(means, covf, op, col, alive, surf=False):
+        return preprocess(
             means, covf, op, alive, cam.viewmatrix, cam.projmatrix,
             cam.tanfovx, cam.tanfovy, cam.focal_x, cam.focal_y,
-            cam.width, cam.height,
+            cam.width, cam.height, adaptive_radius=not surf,
         )
-        keys, pair_g = rasterize._build_pairs(prep, cfg)
+
+    t_prep = timed(jax.jit(prep_only), *arrays)
+    print(f"preprocess only:                        {t_prep*1000:8.1f} ms/cam")
+
+    def binning(means, covf, op, col, alive):
+        prep = prep_only(means, covf, op, col, alive)
+        keys, pair_g, _ = rasterize._build_pairs(prep, cfg)
         tids = jnp.arange(cfg.num_tiles_pad, dtype=jnp.int32)
         starts = jnp.searchsorted(keys, tids)
         return starts.sum() + pair_g[0]
 
-    t_bin = timed(binning, *arrays)
-    print(f"preprocess+depth-sort+pair-sort+ranges: {t_bin*1000:8.1f} ms/cam")
+    t_bin = timed(jax.jit(binning), *arrays)
+    print(f"preprocess+pair-expand+sort+ranges:     {t_bin*1000:8.1f} ms/cam")
 
-    for surf in (False, True):
-        sweep = jax.jit(
-            lambda a, c, s=surf: render_sweep(a, c, cfg, calc_surface_distance=s)
+    def aligned(means, covf, op, col, alive):
+        from gs2pc.ops.pallas_blend import build_aligned_pairs
+
+        prep = prep_only(means, covf, op, col, alive)
+        P = means.shape[0]
+        table = jnp.concatenate(
+            [prep.xy, prep.conic, prep.opacity[:, None], col,
+             prep.depth[:, None], jnp.zeros((P, 6), jnp.float32)], axis=1,
         )
-        t = timed(sweep, arrays, cameras) / args.cams
-        print(f"full sweep (surface={surf!s:5}):          {t*1000:8.1f} ms/cam")
+        keys, gid, _ = rasterize._build_pairs(prep, cfg)
+        pairs = build_aligned_pairs(
+            table, keys, gid,
+            num_tiles_pad=cfg.num_tiles_pad, run_cap=cfg.run_cap,
+            run_chunk=cfg.run_chunk,
+        )
+        return pairs.total + pairs.gid[0]
+
+    t_al = timed(jax.jit(aligned), *arrays)
+    print(f"  + aligned pair build (pallas):        {t_al*1000:8.1f} ms/cam")
+
+    for use_pallas in (False, True):
+        for surf in (False, True):
+            sweep = jax.jit(
+                lambda a, c, s=surf, up=use_pallas: render_sweep(
+                    a, c, cfg, calc_surface_distance=s, use_pallas=up
+                )
+            )
+            t = timed(sweep, arrays, cameras) / args.cams
+            blend = "pallas" if use_pallas else "xla"
+            print(
+                f"full sweep ({blend:6}, surface={surf!s:5}):  {t*1000:8.1f} ms/cam"
+            )
 
     n_cap = args.points + args.points // 20
     contrib = jnp.abs(jax.random.normal(jax.random.PRNGKey(1), (args.gaussians,)))
 
     @jax.jit
-    def sampling(key, c):
-        sizes = scene.magnitudes(contributions=c)
+    def sampling(key, sc, c):
+        # scene passed as an ARGUMENT: closing over 3M-Gaussian device
+        # arrays embeds them as HLO constants and blows the remote
+        # compiler's request-size limit.
+        sizes = sc.magnitudes(contributions=c)
         ppg = distribute_points(sizes, args.points)
-        out = sample_points(key, scene, ppg, n_cap=n_cap, num_attempts=5)
+        out = sample_points(key, sc, ppg, n_cap=n_cap, num_attempts=5)
         return out.points, out.valid
 
-    t_s = timed(sampling, jax.random.PRNGKey(0), contrib)
+    t_s = timed(sampling, jax.random.PRNGKey(0), scene, contrib)
     print(f"point sampling ({args.points} pts):     {t_s*1000:8.1f} ms")
 
 

@@ -71,7 +71,7 @@ def main():
     def stage_pairs(prep):
         return rasterize._build_pairs(prep, cfg)
 
-    t, (keys, pair_sid) = timed(stage_pairs, prep)
+    t, (keys, pair_gid, _) = timed(stage_pairs, prep)
     n_real = int(jnp.searchsorted(keys, jnp.int32(cfg.num_tiles)))
     print(f"pair expand+sort:      {t*1000:8.1f} ms   (L={keys.shape[0]}, real={n_real})")
 
@@ -91,14 +91,14 @@ def main():
     print(f"packed table build:    {t*1000:8.1f} ms")
 
     @jax.jit
-    def stage_aligned(table, keys, pair_sid):
+    def stage_aligned(table, keys, pair_gid):
         return build_aligned_pairs(
-            table, keys, pair_sid, slots=cfg.slots,
+            table, keys, pair_gid,
             num_tiles_pad=cfg.num_tiles_pad, run_cap=cfg.run_cap,
             run_chunk=cfg.run_chunk,
         )
 
-    t, pairs = timed(stage_aligned, table, keys, pair_sid)
+    t, pairs = timed(stage_aligned, table, keys, pair_gid)
     print(f"aligned table build:   {t*1000:8.1f} ms   (L_al={pairs.pair_tab.shape[1]}, occupied={int(pairs.total)})")
 
     from gs2pc.ops.pallas_blend import pallas_blend
