@@ -202,6 +202,20 @@ def main():
         width_pad=wp, height_pad=hp,
         slots=16, run_cap=4096, run_chunk=128, tile_batch=128,
     )
+    # Auto-size the pair budget exactly as the production pipeline does.
+    import jax.numpy as jnp
+
+    from gs2pc.ops.rasterize import auto_pair_budget
+
+    probe_arrays = (
+        scene.xyz, scene.covariance_factors(), scene.opacities,
+        scene.colours, jnp.ones(scene.num_gaussians, bool),
+    )
+    cfg = cfg._replace(
+        pair_budget=auto_pair_budget(
+            probe_arrays, cameras, cfg, calc_surface_distance=calc_surface
+        )
+    )
     n_cap = n_points + max(4096, n_points // 20)
 
     variants = [("pallas" if primary_pallas else "xla", primary_pallas)]
