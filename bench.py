@@ -35,10 +35,26 @@ NORTH_STAR_POINTS_PER_S = 10_000_000 / 30.0
 # |depth-ed| sweep amortised share.
 FLOPS_PER_PAIR_PIXEL = 30.0
 TPX = 256  # pixels per 16x16 tile
-# One v5p chip peak (dense bf16 MXU headline); the blend is f32 VPU work,
-# so the MFU figure is conservative by construction — it answers "what
+# Per-chip dense bf16 MXU headline peaks; the blend is f32 VPU work, so
+# the MFU figure is conservative by construction — it answers "what
 # fraction of the chip's paper peak does the pipeline extract".
-PEAK_FLOPS = 459e12
+PEAK_FLOPS_BY_KIND = {
+    "v5 lite": 197e12,  # v5e
+    "v5e": 197e12,
+    "v5p": 459e12,
+    "v4": 275e12,
+    "v6 lite": 918e12,  # v6e / Trillium
+    "v6e": 918e12,
+}
+PEAK_FLOPS_DEFAULT = 459e12
+
+
+def peak_flops_for(device) -> float:
+    kind = getattr(device, "device_kind", "").lower()
+    for name, peak in PEAK_FLOPS_BY_KIND.items():
+        if name in kind:
+            return peak
+    return PEAK_FLOPS_DEFAULT
 
 
 def make_scene(n, seed=0):
@@ -105,7 +121,7 @@ def run_pipeline(scene, cameras, cfg, use_pallas, n_points, n_cap,
     import jax.numpy as jnp
 
     from gs2pc.ops.sampler import distribute_points, sample_points
-    from gs2pc.parallel.sweep import render_sweep
+    from gs2pc.parallel.sweep import render_sweep_chunked
     from gs2pc.utils.platform import fetch_sync
 
     arrays = (
@@ -116,9 +132,11 @@ def run_pipeline(scene, cameras, cfg, use_pallas, n_points, n_cap,
         jnp.ones(scene.num_gaussians, bool),
     )
 
-    @jax.jit
+    # Dispatch-bounded sweep, exactly as the production pipeline runs it
+    # (several bounded device programs; byte-identical to one monolithic
+    # scan — see gs2pc.parallel.sweep.PAIRS_PER_DISPATCH).
     def sweep_fn(arrays, cameras):
-        return render_sweep(
+        return render_sweep_chunked(
             arrays, cameras, cfg,
             calc_surface_distance=calc_surface, use_pallas=use_pallas,
         )
@@ -241,7 +259,7 @@ def main():
     # MFU estimate: blend FLOPs = pairs_blended (whole sweep) x 256
     # pixels/tile x ~30 flops, over the sweep wall-clock.
     blend_flops = best["pairs_blended"] * TPX * FLOPS_PER_PAIR_PIXEL
-    mfu = blend_flops / max(best["t_sweep"], 1e-9) / PEAK_FLOPS
+    mfu = blend_flops / max(best["t_sweep"], 1e-9) / peak_flops_for(dev)
 
     record = {
         "metric": (

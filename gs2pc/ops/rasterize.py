@@ -203,7 +203,7 @@ def auto_pair_budget(
     return min(budget, PAIR_BUDGET_CEIL)
 
 
-def _build_pairs(prep, cfg: TileConfig):
+def _build_pairs(prep, cfg: TileConfig, sort: bool = True):
     """Expand Gaussians into tile-sorted (key, gid) pair lists — the exact
     prefix-sum expansion of duplicateWithKeys (rasterizer_impl.cu:69-110)
     on a static pair budget.
@@ -345,10 +345,24 @@ def _build_pairs(prep, cfg: TileConfig):
     ranks = jax.lax.bitcast_convert_type(rows[:, 8], jnp.int32)
     gid_out = jnp.where(pair_ok, gid, P)
 
-    sorted_keys, _, sorted_gid = jax.lax.sort(
-        (keys, ranks, gid_out), num_keys=3
-    )
+    if not sort:  # diagnostics only (tools/bench_breakdown.py)
+        return keys, gid_out, win_dropped.astype(jnp.int32)
+
+    sorted_keys, sorted_gid = sort_pairs(keys, ranks, gid_out)
     return sorted_keys, sorted_gid, win_dropped.astype(jnp.int32)
+
+
+def sort_pairs(keys, ranks, gid):
+    """Sort the expanded pair list by (tile, depth-bits, gid).
+
+    One 3-operand non-stable lax.sort: positive-f32 depth bits are
+    order-isomorphic to depth (the CUDA 64-bit [tileID|depth] radix key,
+    rasterizer_impl.cu:311-316, split across operands); gid breaks exact
+    ties so the output is a pure function of the key multiset."""
+    sorted_keys, _, sorted_gid = jax.lax.sort(
+        (keys, ranks, gid), num_keys=3
+    )
+    return sorted_keys, sorted_gid
 
 
 def render_tile_camera(

@@ -122,6 +122,29 @@ def _render_one(
     )
 
 
+def merge_accumulators(
+    a: SweepAccumulators, b: SweepAccumulators
+) -> SweepAccumulators:
+    """Merge accumulators from two disjoint camera subsets, `b`'s cameras
+    coming after `a`'s.  Ties keep `a` — the same first-camera-wins rule as
+    update_accumulators' strict `>` — so splitting a sweep into dispatches
+    and merging reproduces the monolithic winner exactly."""
+    upd = b.max_contribution > a.max_contribution
+    if a.n_dropped is None or b.n_dropped is None:
+        nd = a.n_dropped if b.n_dropped is None else b.n_dropped
+    else:
+        nd = a.n_dropped + b.n_dropped
+    return SweepAccumulators(
+        max_contribution=jnp.where(upd, b.max_contribution, a.max_contribution),
+        colours=jnp.where(upd[:, None], b.colours, a.colours),
+        total_contribution=a.total_contribution + b.total_contribution,
+        min_surface_distance=jnp.minimum(
+            a.min_surface_distance, b.min_surface_distance
+        ),
+        n_dropped=nd,
+    )
+
+
 def render_sweep(
     scene_arrays,
     cameras: CameraBatch,
@@ -133,10 +156,16 @@ def render_sweep(
     shs=None,
     sh_degree: int = 3,
     use_pallas: bool = False,
+    acc0: SweepAccumulators | None = None,
 ) -> SweepAccumulators:
-    """Sequential (single-device) sweep: lax.scan over stacked cameras."""
+    """Sequential (single-device) sweep: lax.scan over stacked cameras.
+
+    ``acc0`` continues a partial sweep (the dispatch-bounded driver below
+    feeds each chunk the previous chunk's carry) — byte-identical to one
+    monolithic scan because the per-camera update order is unchanged."""
     P_num = scene_arrays[0].shape[0]
-    acc0 = init_accumulators(P_num)
+    if acc0 is None:
+        acc0 = init_accumulators(P_num)
 
     has_mask = cameras.mask is not None
 
@@ -186,6 +215,94 @@ def pad_cameras(cameras: CameraBatch, multiple: int) -> CameraBatch:
         height=pad(cameras.height),
         mask=pad(cameras.mask),
     )
+
+
+# Splat-tile pairs of sort+blend work per dispatch.  The camera sweep is
+# split into multiple jit dispatches of at most this much work so that no
+# single device program runs unboundedly long: some TPU serving stacks
+# (including the tunnelled backend this project is benchmarked on) kill
+# any single dispatch running longer than ~60 s.  2^27 pairs is ~7-15 s
+# per dispatch at production budgets; the per-dispatch overhead is the
+# ~30 ms launch floor, <1% at that grain.
+PAIRS_PER_DISPATCH = 1 << 27
+
+
+def auto_dispatch_cams(
+    cfg: TileConfig, num_gaussians: int, n_cams: int, requested: int = 0
+) -> int:
+    """Cameras per dispatch: explicit request, or sized from the pair
+    budget so each dispatch stays well under the watchdog (0 = auto)."""
+    if requested > 0:
+        return min(requested, n_cams)
+    budget = max(cfg.pair_budget_for(num_gaussians), 1)
+    return max(1, min(n_cams, PAIRS_PER_DISPATCH // budget))
+
+
+def slice_cameras(cameras: CameraBatch, start: int, count: int) -> CameraBatch:
+    """Static slice [start, start+count) along the camera axis."""
+    return jax.tree.map(
+        lambda x: jax.lax.slice_in_dim(x, start, start + count, axis=0)
+        if hasattr(x, "shape") else x,
+        cameras,
+    )
+
+
+@functools.lru_cache(maxsize=64)
+def _chunk_step(
+    cfg: TileConfig, renderer, white_bkgd, antialiasing,
+    calc_surface_distance, sh_degree, use_pallas,
+):
+    """One jitted sweep program per static-knob combination — reused
+    across every dispatch of a chunked sweep AND across repeat calls, so
+    re-invoking the chunked driver never retraces."""
+    return jax.jit(
+        functools.partial(
+            render_sweep,
+            cfg=cfg, renderer=renderer, white_bkgd=white_bkgd,
+            antialiasing=antialiasing,
+            calc_surface_distance=calc_surface_distance,
+            sh_degree=sh_degree, use_pallas=use_pallas,
+        )
+    )
+
+
+def render_sweep_chunked(
+    scene_arrays,
+    cameras: CameraBatch,
+    cfg: TileConfig,
+    renderer: str = "tile",
+    white_bkgd: bool = True,
+    antialiasing: bool = False,
+    calc_surface_distance: bool = True,
+    shs=None,
+    sh_degree: int = 3,
+    use_pallas: bool = False,
+    dispatch_cams: int = 0,
+) -> SweepAccumulators:
+    """Single-device sweep split into bounded jit dispatches.
+
+    One compiled program (cameras pad to a dispatch multiple with inert
+    entries) re-dispatched with the carried accumulators — byte-identical
+    to the monolithic scan, but no dispatch exceeds ~PAIRS_PER_DISPATCH
+    pairs of work (see the watchdog note above)."""
+    P_num = scene_arrays[0].shape[0]
+    n = cameras.num_cameras
+    k = auto_dispatch_cams(cfg, P_num, n, dispatch_cams)
+
+    step = _chunk_step(
+        cfg, renderer, white_bkgd, antialiasing, calc_surface_distance,
+        sh_degree, use_pallas,
+    )
+    if k >= n:
+        return step(scene_arrays, cameras, shs=shs)
+
+    cameras = pad_cameras(cameras, k)
+    acc = init_accumulators(P_num)
+    for i in range(0, cameras.num_cameras, k):
+        acc = step(
+            scene_arrays, slice_cameras(cameras, i, k), shs=shs, acc0=acc
+        )
+    return acc
 
 
 def render_sweep_sharded(

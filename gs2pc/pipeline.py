@@ -25,7 +25,6 @@ from gs2pc.ops.sampler import SampledPoints, distribute_points, sample_points
 from gs2pc.parallel.mesh import make_mesh
 from gs2pc.parallel.sweep import (
     SweepAccumulators,
-    render_sweep,
     render_sweep_sharded,
 )
 from gs2pc.utils import log
@@ -99,6 +98,31 @@ def run_render_sweep(
             f"--shard_axis {settings.shard_axis} needs --num_devices > 1 "
             "(it would otherwise be silently ignored)"
         )
+
+    # Dispatch bounding: split the sweep into several shorter device
+    # programs (see sweep.PAIRS_PER_DISPATCH).  Sequential merging keeps
+    # the single-device path byte-identical; sharded paths merge their
+    # already-combined chunk results (f32 sum order changes only for
+    # total_contribution, within rounding).
+    from gs2pc.parallel.sweep import (
+        auto_dispatch_cams,
+        merge_accumulators,
+        pad_cameras,
+        slice_cameras,
+    )
+
+    def chunked_sharded(render_fn, group: int):
+        """Run `render_fn(cams)` over camera groups and merge the results."""
+        n = cameras.num_cameras
+        if group >= n:
+            return render_fn(cameras)
+        padded = pad_cameras(cameras, group)
+        acc = None
+        for i in range(0, padded.num_cameras, group):
+            part = render_fn(slice_cameras(padded, i, group))
+            acc = part if acc is None else merge_accumulators(acc, part)
+        return acc
+
     if num_devices > 1 and settings.shard_axis in ("gauss", "both"):
         from gs2pc.parallel.gauss_shard import (
             make_2d_mesh,
@@ -112,40 +136,62 @@ def run_render_sweep(
                 f"--shard_axis {settings.shard_axis} requires the tile "
                 "renderer"
             )
+        k = auto_dispatch_cams(
+            cfg, arrays[0].shape[0], cameras.num_cameras,
+            settings.render.dispatch_cams,
+        )
         if settings.shard_axis == "both":
-            acc = render_sweep_2d(
-                arrays, cameras, cfg, make_2d_mesh(num_devices),
-                calc_surface_distance=calc_surface,
-                shs=shs, sh_degree=settings.max_sh_degree,
-                use_pallas=use_pallas,
+            mesh2d = make_2d_mesh(num_devices)
+            from gs2pc.parallel.mesh import CAM_AXIS as _CAM
+
+            cams_d = mesh2d.shape[_CAM]
+            acc = chunked_sharded(
+                lambda cams: render_sweep_2d(
+                    arrays, cams, cfg, mesh2d,
+                    calc_surface_distance=calc_surface,
+                    shs=shs, sh_degree=settings.max_sh_degree,
+                    use_pallas=use_pallas,
+                ),
+                group=k * cams_d,
             )
         else:
-            acc = render_sweep_gauss_sharded(
-                arrays, cameras, cfg, make_gauss_mesh(num_devices),
-                calc_surface_distance=calc_surface,
-                shs=shs, sh_degree=settings.max_sh_degree,
-                use_pallas=use_pallas,
+            gmesh = make_gauss_mesh(num_devices)
+            acc = chunked_sharded(
+                lambda cams: render_sweep_gauss_sharded(
+                    arrays, cams, cfg, gmesh,
+                    calc_surface_distance=calc_surface,
+                    shs=shs, sh_degree=settings.max_sh_degree,
+                    use_pallas=use_pallas,
+                ),
+                group=k,
             )
     elif num_devices > 1:
         mesh = make_mesh(num_devices)
-        acc = render_sweep_sharded(
-            arrays, cameras, cfg, mesh,
+        k = auto_dispatch_cams(
+            cfg, arrays[0].shape[0], cameras.num_cameras,
+            settings.render.dispatch_cams,
+        )
+        acc = chunked_sharded(
+            lambda cams: render_sweep_sharded(
+                arrays, cams, cfg, mesh,
+                renderer=settings.renderer_type,
+                calc_surface_distance=calc_surface,
+                shs=shs, sh_degree=settings.max_sh_degree,
+                use_pallas=use_pallas,
+            ),
+            group=k * num_devices,
+        )
+    else:
+        from gs2pc.parallel.sweep import render_sweep_chunked
+
+        acc = render_sweep_chunked(
+            arrays, cameras, cfg,
             renderer=settings.renderer_type,
             calc_surface_distance=calc_surface,
             shs=shs, sh_degree=settings.max_sh_degree,
             use_pallas=use_pallas,
+            dispatch_cams=settings.render.dispatch_cams,
         )
-    else:
-        sweep = jax.jit(
-            lambda a, c, s: render_sweep(
-                a, c, cfg,
-                renderer=settings.renderer_type,
-                calc_surface_distance=calc_surface,
-                shs=s, sh_degree=settings.max_sh_degree,
-                use_pallas=use_pallas,
-            )
-        )
-        acc = sweep(arrays, cameras, shs)
 
     p = gaussians.num_gaussians
     return SweepAccumulators(

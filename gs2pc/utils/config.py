@@ -41,6 +41,7 @@ class RenderConfig(NamedTuple):
     run_chunk: int = 128  # gaussians blended per inner step
     tile_batch: int = 256  # tiles processed per outer step
     use_pallas: str = "auto"  # "auto" | "on" | "off" — Pallas blend kernel
+    dispatch_cams: int = 0  # cameras per jit dispatch (0 = auto-size)
 
 
 class GaussPointCloudSettings(NamedTuple):
@@ -187,7 +188,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--save_sweep", type=str, default=None, help="Save per-Gaussian sweep accumulators (colours/contributions/surface distances) to this .npz for later reuse")
     p.add_argument("--load_sweep", type=str, default=None, help="Load sweep accumulators from this .npz instead of re-rendering all cameras")
     p.add_argument("--pallas", type=str, default="auto", choices=["auto", "on", "off"], help="Use the hand-written Pallas TPU blend kernel ('auto' enables it on TPU backends)")
-    p.add_argument("--shard_axis", type=str, default="cams", choices=["cams", "gauss", "both"], help="Multi-device sharding axis for the render sweep: 'cams' = camera data parallel, 'gauss' = depth-slab Gaussian parallel, 'both' = near-square 2-D (cams x gauss) mesh")
+    p.add_argument("--shard_axis", type=str, default="cams", choices=["cams", "gauss", "both"], help="Multi-device sharding axis for the render sweep: 'cams' = camera data parallel, 'gauss' = depth-slab Gaussian parallel, 'both' = near-square 2-D (cams x gauss) mesh. Note: with 'gauss'/'both', a tile that saturates --max_pairs_per_tile blends up to devices x cap pairs, so results on cap-saturated scenes can vary slightly with --num_devices")
+    p.add_argument("--dispatch_cameras", type=int, default=0, help="Cameras rendered per device dispatch during the colour sweep (0 = auto-size from the pair budget). Splitting the sweep into bounded dispatches is byte-identical to one monolithic dispatch and keeps each device program short")
     p.add_argument("--profile_dir", type=str, default=None, help="Write a jax.profiler trace of the conversion to this directory (view with TensorBoard/XProf)")
     return p
 
@@ -302,5 +304,6 @@ def settings_from_args(args: argparse.Namespace) -> GaussPointCloudSettings:
             pair_budget=args.pair_budget,
             max_pairs_per_tile=args.max_pairs_per_tile,
             use_pallas=args.pallas,
+            dispatch_cams=args.dispatch_cameras,
         ),
     )

@@ -44,13 +44,21 @@ def main():
     ap.add_argument("--cams", type=int, default=2)
     ap.add_argument("--width", type=int, default=1280)
     ap.add_argument("--height", type=int, default=720)
+    ap.add_argument(
+        "--pair_budget_log2", type=int, default=0,
+        help="Explicit pair budget as a power of two (0 = legacy derivation)",
+    )
     args = ap.parse_args()
 
     scene = bench.make_scene(args.gaussians).calculate_normals()
     cameras, wp, hp = bench.make_cameras(args.cams, args.width, args.height)
     cam = cameras.at(0)
     cfg = TileConfig(width_pad=wp, height_pad=hp, slots=16,
-                     run_cap=4096, run_chunk=128, tile_batch=128)
+                     run_cap=4096, run_chunk=128, tile_batch=128,
+                     pair_budget=(
+                         1 << args.pair_budget_log2
+                         if args.pair_budget_log2 else 0
+                     ))
     arrays = (
         scene.xyz, scene.covariance_factors(), scene.opacities,
         scene.colours, jnp.ones(scene.num_gaussians, bool),
@@ -66,6 +74,14 @@ def main():
 
     t_prep = timed(jax.jit(prep_only), *arrays)
     print(f"preprocess only:                        {t_prep*1000:8.1f} ms/cam")
+
+    def expand_only(means, covf, op, col, alive):
+        prep = prep_only(means, covf, op, col, alive)
+        keys, pair_g, _ = rasterize._build_pairs(prep, cfg, sort=False)
+        return keys.sum() + pair_g[0]
+
+    t_exp = timed(jax.jit(expand_only), *arrays)
+    print(f"preprocess+pair-expand (no sort):       {t_exp*1000:8.1f} ms/cam")
 
     def binning(means, covf, op, col, alive):
         prep = prep_only(means, covf, op, col, alive)
