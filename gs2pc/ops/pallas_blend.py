@@ -232,6 +232,7 @@ def _blend_kernel(
     tout_ref,  # (TPP, TPX, 1) f32 final per-pixel transmittance
     ma_ref,  # (2, L_al) f32 in HBM: row 0 = max contribution, row 1 = bitcast argmax pixel
     sd_ref,  # (1, L_al) f32 in HBM: per-pair min surface distance (if with_surface)
+    live_ref,  # (TPP, TPX, 1) f32: final T where the pixel is valid AND not done, else 0
     # scratch
     buf_ref,  # (2, 16, Rs) f32 — double-buffered input chunk slabs
     ma_scratch,  # (2, 2, Rs) f32 — double-buffered packed pair outputs
@@ -487,6 +488,11 @@ def _blend_kernel(
         # Final transmittance map (neutral 1 on invalid pixels so the
         # gauss-shard cross-device prefix products stay well-defined).
         tout_ref[k] = jnp.where(valid_px, T, 1.0)
+        # Live-pixel transmittance: 0 where the pixel is invalid OR hit
+        # the early stop — a truncated pair can only have mattered on a
+        # pixel that was still blending (truncation observability).
+        done_col = jnp.max(done_ref[:], axis=1, keepdims=True) > 0.5
+        live_ref[k] = jnp.where(valid_px & ~done_col, T, 0.0)
 
         if with_surface:
             # Second cheap chunk loop: min over tile pixels of
@@ -575,7 +581,8 @@ def pallas_blend(
     early_stop: bool = True,
 ):
     """Returns (tile_rgb (NTP,TPX,3), ed (NTP,TPX), einv (NTP,TPX),
-    trans (NTP,TPX), m (L_al,), apix (L_al,), sd (L_al,) or None)."""
+    trans (NTP,TPX), m (L_al,), apix (L_al,), sd (L_al,) or None,
+    live (NTP,TPX) — final T on valid-and-not-done pixels, else 0)."""
     L_al = pairs.pair_tab.shape[1]
     NTP = num_tiles_pad
     rs = run_chunk
@@ -632,6 +639,7 @@ def pallas_blend(
             pl.BlockSpec((tpp, TPX, 1), lambda p, *_: (p, 0, 0)),  # trans
             pl.BlockSpec(memory_space=pltpu.HBM),  # packed m/apix (HBM)
             pl.BlockSpec(memory_space=pltpu.HBM),  # sd (HBM; dummy if unused)
+            pl.BlockSpec((tpp, TPX, 1), lambda p, *_: (p, 0, 0)),  # live T
         ],
         scratch_shapes=[
             pltpu.VMEM((2, TABLE_LANES, rs), jnp.float32),  # input slabs
@@ -656,11 +664,12 @@ def pallas_blend(
         jax.ShapeDtypeStruct((NTP, TPX, 1), jnp.float32),
         jax.ShapeDtypeStruct((2, L_al), jnp.float32),
         jax.ShapeDtypeStruct((1, L_al if with_surface else rs), jnp.float32),
+        jax.ShapeDtypeStruct((NTP, TPX, 1), jnp.float32),
     ]
 
     ma_init = jnp.zeros((2, L_al), jnp.float32)
 
-    rgb, ed, einv, trans, ma, sd = pl.pallas_call(
+    rgb, ed, einv, trans, ma, sd, live = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=out_shape,
@@ -671,7 +680,7 @@ def pallas_blend(
         input_output_aliases={7: 4},
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True,
-            vmem_limit_bytes=64 * 1024 * 1024,
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
     )(
         pairs.starts,
@@ -686,4 +695,7 @@ def pallas_blend(
     m = ma[0]
     apix = jax.lax.bitcast_convert_type(ma[1], jnp.int32)
     sd_out = sd[0] if with_surface else None
-    return rgb, ed[:, :, 0], einv[:, :, 0], trans[:, :, 0], m, apix, sd_out
+    return (
+        rgb, ed[:, :, 0], einv[:, :, 0], trans[:, :, 0], m, apix, sd_out,
+        live[:, :, 0],
+    )

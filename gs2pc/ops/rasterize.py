@@ -64,6 +64,16 @@ class TileConfig(NamedTuple):
     run_cap: int = 4096  # R_cap: max pairs blended per tile
     run_chunk: int = 128  # Rs: pairs per inner step
     tile_batch: int = 256  # TB: tiles per outer step
+    # Q: per-Gaussian windows pad to a multiple of this many pairs, so the
+    # pair -> Gaussian decode (scatter+cummax+row gather) runs at 1/Q
+    # granularity — the expansion's dominant cost at production scale
+    # (DESIGN.md §7a).  Pads are dead pairs (sentinel keys); whenever the
+    # budget covers the padded coverage the LIVE pair set is identical to
+    # Q=1, so results are unchanged.  1 = no padding.  Default 4: decode
+    # is ~1.9x faster than Q=1 on hardware while window padding stays
+    # ~15-25% on detail-splat scenes (Q=8 is faster per pair but its
+    # ~50%+ padding can double the power-of-two budget bucket).
+    pair_quantum: int = 4
 
     def pair_budget_for(self, p: int) -> int:
         """Static pair-list length for a P-Gaussian scene.
@@ -111,7 +121,7 @@ def _win_dims(rw, rh, s_cap):
     return s_w, s_h
 
 
-def _waterfill_cap(rw, rh, ok_g, budget: int, grid_area: int):
+def _waterfill_cap(rw, rh, ok_g, budget: int, grid_area: int, quantum: int = 1):
     """Largest uniform per-Gaussian tile cap whose kept area fits budget.
 
     The CUDA pipeline expands EXACT per-Gaussian tile counts via a prefix
@@ -122,13 +132,17 @@ def _waterfill_cap(rw, rh, ok_g, budget: int, grid_area: int):
     area fits L.  When the scene's total rect area fits the budget the
     expansion is EXACT (full rects, reference semantics, zero
     truncation); oversubscribed scenes degrade uniformly instead of
-    per-class, and the loss is counted and reported."""
+    per-class, and the loss is counted and reported.  ``quantum`` adds
+    the Q-pair window padding to the fit (see TileConfig.pair_quantum)."""
 
     def kept_sum(s):
         s_w, s_h = _win_dims(rw, rh, s)
+        kept = s_w * s_h
+        if quantum > 1:
+            kept = -(-kept // quantum) * quantum
         # f32 sum: exact ints only below 2^24, so leave slack below the
         # budget for rounding; the offset cumsum clamps exactly anyway.
-        return jnp.sum(jnp.where(ok_g, (s_w * s_h).astype(jnp.float32), 0.0))
+        return jnp.sum(jnp.where(ok_g, kept.astype(jnp.float32), 0.0))
 
     # Slack for f32 rounding in kept_sum (XLA reduces in trees: relative
     # error ~ eps * log2(N)); the offset cumsum clamps exactly anyway.
@@ -167,7 +181,10 @@ def coverage_need(
         rw = prep.rect_max[:, 0] - prep.rect_min[:, 0]
         rh = prep.rect_max[:, 1] - prep.rect_min[:, 1]
         ok = prep.valid & (rw > 0) & (rh > 0)
-        need = jnp.sum(jnp.where(ok, (rw * rh).astype(jnp.float32), 0.0))
+        area = rw * rh
+        if cfg.pair_quantum > 1:  # window padding counts against the budget
+            area = -(-area // cfg.pair_quantum) * cfg.pair_quantum
+        need = jnp.sum(jnp.where(ok, area.astype(jnp.float32), 0.0))
         return carry, need
 
     cams_nomask = _dc.replace(cameras, mask=None)
@@ -230,16 +247,27 @@ def _build_pairs(prep, cfg: TileConfig, sort: bool = True):
     grid_area = max(cfg.grid_w * cfg.grid_h, 1)
     tile = cfg.tile
 
+    # Window quantum: at production budgets, pad every window to a
+    # Q-pair multiple so the pair -> Gaussian decode runs at group
+    # (1/Q) granularity — the expansion's scatter/cummax/row-gather were
+    # the sweep's dominant cost at 33.5M pairs (DESIGN.md §7a).  Small
+    # budgets (tests / tiny scenes) keep Q=1: padding there could eat a
+    # material fraction of the budget, and the decode is already cheap.
+    Q = max(cfg.pair_quantum, 1) if L >= (1 << 20) else 1
+    L = -(-L // Q) * Q
+    G = L // Q
+
     rmin, rmax, xy = prep.rect_min, prep.rect_max, prep.xy
     rw = rmax[:, 0] - rmin[:, 0]
     rh = rmax[:, 1] - rmin[:, 1]
     ok_g = prep.valid & (rw > 0) & (rh > 0)
 
-    s_cap = _waterfill_cap(rw, rh, ok_g, L, grid_area)
+    s_cap = _waterfill_cap(rw, rh, ok_g, L, grid_area, quantum=Q)
     s_w, s_h = _win_dims(rw, rh, s_cap)
-    cnt = jnp.where(ok_g, s_w * s_h, 0)
+    cnt = jnp.where(ok_g, s_w * s_h, 0)  # live window length
+    cnt_q = -(-cnt // Q) * Q if Q > 1 else cnt  # padded (dead tail) length
     off = jnp.concatenate(
-        [jnp.zeros(1, jnp.int32), jnp.cumsum(cnt)[:-1].astype(jnp.int32)]
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(cnt_q)[:-1].astype(jnp.int32)]
     )
 
     # Window origin: centred on the Gaussian's own tile, clamped into rect.
@@ -305,45 +333,58 @@ def _build_pairs(prep, cfg: TileConfig, sort: bool = True):
     gtab = gtab.at[:P, 8].set(prep.depth)
     gtab = gtab.at[:P, 9].set(cnt.astype(jnp.float32))
 
-    # Pair j -> Gaussian: scatter each non-empty window's ORIGINAL
-    # Gaussian index at its start offset, then a running max — pair j
-    # belongs to the last window started at or before j.  Starts of
-    # non-empty windows are strictly increasing, so the scatter is
-    # conflict-free.
+    # Pair group -> Gaussian: windows are Q-aligned, so every Q-pair
+    # group belongs to exactly ONE window.  Scatter each non-empty
+    # window's ORIGINAL Gaussian index at its start group, then a running
+    # max — group g' belongs to the last window started at or before it.
+    # Starts of non-empty windows are strictly increasing, so the scatter
+    # is conflict-free.  Everything below runs at group (1/Q) granularity
+    # with groups on the LANE axis of (Q, G) arrays — full-lane vectors.
     start_ok = (cnt > 0) & (off < L)
     gidx = jnp.arange(P, dtype=jnp.int32)
-    seg = jnp.full(L, -1, jnp.int32).at[jnp.minimum(off, L - 1)].max(
+    seg = jnp.full(G, -1, jnp.int32).at[jnp.minimum(off // Q, G - 1)].max(
         jnp.where(start_ok, gidx, -1)
     )
-    gid = jax.lax.cummax(seg)  # -1 before the first window start
+    gid_g = jax.lax.cummax(seg)  # (G,) -1 before the first window start
 
-    j = jnp.arange(L, dtype=jnp.int32)
-    rows = gtab[jnp.where(gid < 0, P, gid)]  # (L, 16) packed row gather
-    off_p = rows[:, 0].astype(jnp.int32) * 4096 + rows[:, 1].astype(jnp.int32)
-    s_w_p = jnp.maximum(rows[:, 2].astype(jnp.int32), 1)
-    cnt_p = rows[:, 9].astype(jnp.int32)
-    k = j - off_p
-    pair_ok = (gid >= 0) & (k < cnt_p)
+    rows_g = gtab[jnp.where(gid_g < 0, P, gid_g)]  # (G, 16) row gather
+    rt = rows_g.T  # (16, G)
+    jg = jnp.arange(G, dtype=jnp.int32) * Q  # base pair id per group
+    qrow = jnp.arange(Q, dtype=jnp.int32)[:, None]  # (Q, 1)
+
+    off_p = rt[0].astype(jnp.int32) * 4096 + rt[1].astype(jnp.int32)  # (G,)
+    s_w_p = jnp.maximum(rt[2].astype(jnp.int32), 1)[None, :]
+    cnt_p = rt[9].astype(jnp.int32)[None, :]
+    k = (jg - off_p)[None, :] + qrow  # (Q, G) rank within window
+    pair_ok = (gid_g >= 0)[None, :] & (k < cnt_p)
 
     dx = k % s_w_p
     dy = k // s_w_p
-    tile_x = rows[:, 3].astype(jnp.int32) + dx
-    tile_y = rows[:, 4].astype(jnp.int32) + dy
+    tile_x = rt[3].astype(jnp.int32)[None, :] + dx
+    tile_y = rt[4].astype(jnp.int32)[None, :] + dy
 
     # Circle-vs-tile cull (AdR-Gaussian-style): drop pairs whose tile rect
     # lies entirely beyond the (adaptive) radius — their best-case alpha
     # is below the blend's 1/255 cutoff, so this culls exactly.
-    px = rows[:, 5]
-    py = rows[:, 6]
+    px = rt[5][None, :]
+    py = rt[6][None, :]
     fx = tile_x.astype(jnp.float32) * tile
     fy = tile_y.astype(jnp.float32) * tile
     ddx = jnp.clip(px, fx, fx + (tile - 1)) - px
     ddy = jnp.clip(py, fy, fy + (tile - 1)) - py
-    pair_ok = pair_ok & (ddx * ddx + ddy * ddy <= rows[:, 7])
+    pair_ok = pair_ok & (ddx * ddx + ddy * ddy <= rt[7][None, :])
 
-    keys = jnp.where(pair_ok, tile_y * cfg.grid_w + tile_x, _KEY_SENTINEL)
-    ranks = jax.lax.bitcast_convert_type(rows[:, 8], jnp.int32)
-    gid_out = jnp.where(pair_ok, gid, P)
+    keys_t = jnp.where(pair_ok, tile_y * cfg.grid_w + tile_x, _KEY_SENTINEL)
+    ranks_t = jnp.broadcast_to(
+        jax.lax.bitcast_convert_type(rt[8], jnp.int32)[None, :], (Q, G)
+    )
+    gid_t = jnp.where(pair_ok, jnp.broadcast_to(gid_g[None, :], (Q, G)), P)
+
+    # (Q, G) -> pair order: group-major flatten (pair j = G-group j//Q,
+    # in-window rank j%Q).
+    keys = keys_t.T.reshape(L)
+    ranks = ranks_t.T.reshape(L)
+    gid_out = gid_t.T.reshape(L)
 
     if not sort:  # diagnostics only (tools/bench_breakdown.py)
         return keys, gid_out, win_dropped.astype(jnp.int32)
@@ -363,6 +404,20 @@ def sort_pairs(keys, ranks, gid):
         (keys, ranks, gid), num_keys=3
     )
     return sorted_keys, sorted_gid
+
+
+# A dropped pair can still matter where some pixel's remaining
+# transmittance exceeds the blend's own contribution floor (alpha cutoff
+# 1/255): below it, any dropped pair's contribution would have been
+# invisible.
+_LIVE_T_FLOOR = 1.0 / 255.0
+
+
+def _append_live_capdrop(diag3, cap_drop_tiles, live_tile, num_tiles: int):
+    """Append counter 4: run-cap drops on tiles with live pixels."""
+    live = live_tile[:num_tiles] > _LIVE_T_FLOOR
+    runcap_live = jnp.sum(jnp.where(live, cap_drop_tiles, 0.0))
+    return jnp.concatenate([diag3, runcap_live[None]])
 
 
 def render_tile_camera(
@@ -439,12 +494,19 @@ def render_tile_camera(
     L = keys.shape[0]
 
     # Truncation diagnostics (float32 counters: psum-able, overflow-safe):
-    # [pairs blended, window-truncated candidates, run-cap-dropped pairs].
+    # [pairs blended, window-truncated candidates, run-cap-dropped pairs,
+    # run-cap drops on LIVE tiles].  The 4th entry is appended after the
+    # blend: a dropped pair can only matter where some pixel's final
+    # transmittance is still above the visibility floor — run-cap drops
+    # are the front-to-back TAIL of a tile, exactly the pairs the
+    # reference's early exit skips, so counting all of them flags fully
+    # occluded (harmless) truncation as quality loss.
     diag_tids = jnp.arange(cfg.num_tiles, dtype=jnp.int32)
     d_starts = jnp.searchsorted(keys, diag_tids, side="left")
     d_ends = jnp.searchsorted(keys, diag_tids, side="right")
     d_runs = (d_ends - d_starts).astype(jnp.float32)
-    runcap_dropped = jnp.sum(jnp.maximum(d_runs - cfg.run_cap, 0.0))
+    cap_drop_tiles = jnp.maximum(d_runs - cfg.run_cap, 0.0)  # (num_tiles,)
+    runcap_dropped = jnp.sum(cap_drop_tiles)
     pairs_blended = jnp.sum(jnp.minimum(d_runs, cfg.run_cap))
     diag = jnp.stack(
         [pairs_blended, win_dropped.astype(jnp.float32), runcap_dropped]
@@ -462,6 +524,7 @@ def render_tile_camera(
         return _finish_pallas(
             prep, table, keys, pair_gid, camera, cfg, mask,
             white_bkgd, calc_surface_distance, pallas_interpret, P, diag,
+            cap_drop_tiles=cap_drop_tiles,
             init_trans=init_trans,
             early_stop=early_stop,
             want_trans=want_trans,
@@ -580,10 +643,19 @@ def render_tile_camera(
         # Neutral (T=1) on invalid pixels so cross-device prefix products
         # stay well-defined.
         tile_T = jnp.where(valid_px, carry.transmittance, 1.0)
-        return matab, (tile_col, tile_ed, tile_einv, tile_T)
+        # Max live transmittance over valid AND not-early-stopped pixels
+        # (the 4th truncation counter's visibility test: a done pixel
+        # never blends again, so drops there cannot matter).
+        tile_live = jnp.max(
+            jnp.where(
+                valid_px & ~carry.done, carry.transmittance, 0.0
+            ),
+            axis=1,
+        )
+        return matab, (tile_col, tile_ed, tile_einv, tile_T, tile_live)
 
-    matab, (tiles_col, tiles_ed, tiles_einv, tiles_T) = jax.lax.scan(
-        batch_step, matab0, jnp.arange(NB, dtype=jnp.int32)
+    matab, (tiles_col, tiles_ed, tiles_einv, tiles_T, tiles_live) = (
+        jax.lax.scan(batch_step, matab0, jnp.arange(NB, dtype=jnp.int32))
     )
     # Occupied prefix: real-tile pairs sort before the sentinels.
     n_real = jnp.searchsorted(keys, jnp.int32(cfg.num_tiles)).astype(jnp.int32)
@@ -597,6 +669,8 @@ def render_tile_camera(
     tiles_col = unshuffle(tiles_col)
     tiles_ed = unshuffle(tiles_ed)
     tiles_einv = unshuffle(tiles_einv)
+    live_tile = unshuffle(tiles_live)  # (NTP,)
+    diag = _append_live_capdrop(diag, cap_drop_tiles, live_tile, cfg.num_tiles)
     tiles_T = unshuffle(tiles_T) if want_trans else None
 
     # Tile-major -> row-major image assembly.
@@ -778,6 +852,7 @@ def _to_tiles(flat, cfg: TileConfig, fill, dtype):
 def _finish_pallas(
     prep, table, keys, pair_gid, camera, cfg: TileConfig, mask,
     white_bkgd, calc_surface_distance, interpret, P, diag=None,
+    cap_drop_tiles=None,
     init_trans=None, early_stop=True, want_trans=False,
     want_best_pix=False, surface_ed_override=None,
 ):
@@ -807,7 +882,7 @@ def _finish_pallas(
         else _to_tiles(surface_ed_override, cfg, 0.0, jnp.float32)
     )
 
-    tiles_rgb, tiles_ed, tiles_einv, tiles_T, m_al, apix_al, sd_al = (
+    tiles_rgb, tiles_ed, tiles_einv, tiles_T, m_al, apix_al, sd_al, tiles_live = (
         pallas_blend(
             pairs, mask_tiles, camera.width, camera.height,
             num_tiles=cfg.num_tiles, num_tiles_pad=NTP,
@@ -825,6 +900,13 @@ def _finish_pallas(
     ed = _untile(tiles_ed, cfg)
     einv = _untile(tiles_einv, cfg)
     trans_map = _untile(tiles_T, cfg) if want_trans else None
+
+    if diag is not None and cap_drop_tiles is not None:
+        # tiles_live is already 0 on invalid and early-stopped pixels.
+        live_tile = jnp.max(tiles_live, axis=1)  # (NTP,)
+        diag = _append_live_capdrop(
+            diag, cap_drop_tiles, live_tile, cfg.num_tiles
+        )
 
     # Per-Gaussian reductions: windowed scatter-max/min of per-pair
     # (m, apix[, sd]) by Gaussian id over the occupied aligned prefix

@@ -238,7 +238,8 @@ def _render_one_gauss_sharded(
         None if p2.n_dropped is None
         else jax.lax.psum(
             p2.n_dropped + jnp.stack(
-                [jnp.float32(0.0), overflow, jnp.float32(0.0)]
+                [jnp.float32(0.0), overflow, jnp.float32(0.0),
+                 jnp.float32(0.0)]
             ),
             GAUSS_AXIS,
         )

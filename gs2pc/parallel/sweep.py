@@ -54,7 +54,7 @@ def init_accumulators(num_gaussians: int) -> SweepAccumulators:
         colours=jnp.zeros((num_gaussians, 3), jnp.float32),
         total_contribution=jnp.zeros(num_gaussians, jnp.float32),
         min_surface_distance=jnp.full(num_gaussians, FLOAT_MAX, jnp.float32),
-        n_dropped=jnp.zeros(3, jnp.float32),
+        n_dropped=jnp.zeros(4, jnp.float32),
     )
 
 

@@ -219,16 +219,23 @@ def report_truncation(acc: SweepAccumulators) -> tuple[bool, bool]:
     """
     if acc.n_dropped is None:
         return False, False
-    pairs, win_drop, cap_drop = (float(x) for x in np.asarray(acc.n_dropped))
+    nd = [float(x) for x in np.asarray(acc.n_dropped)]
+    pairs, win_drop, cap_drop = nd[0], nd[1], nd[2]
+    # 4th counter (when present): cap drops on tiles whose pixels still
+    # had visible transmittance — run-cap tails on fully occluded tiles
+    # are exactly what the reference's early exit skips, so only LIVE
+    # drops are treated as material quality loss.
+    cap_drop_live = nd[3] if len(nd) > 3 else cap_drop
     if pairs == 0.0 and win_drop == 0.0 and cap_drop == 0.0:
         return False, False  # dense renderer (never truncates) or empty sweep
     log.info(
         f"Render pair budget: {pairs:,.0f} blended; truncated "
-        f"{win_drop:,.0f} (tile windows), {cap_drop:,.0f} (per-tile cap)"
+        f"{win_drop:,.0f} (tile windows), {cap_drop:,.0f} (per-tile cap, "
+        f"{cap_drop_live:,.0f} on live tiles)"
     )
     denom = max(pairs, 1.0)
     win_material = win_drop / denom > TRUNCATION_WARN_FRACTION
-    cap_material = cap_drop / denom > TRUNCATION_WARN_FRACTION
+    cap_material = cap_drop_live / denom > TRUNCATION_WARN_FRACTION
     if win_material:
         log.warn(
             f"{win_drop:,.0f} splat-tile candidates "
@@ -238,9 +245,10 @@ def report_truncation(acc: SweepAccumulators) -> tuple[bool, bool]:
         )
     if cap_material:
         log.warn(
-            f"{cap_drop:,.0f} pairs ({100.0 * cap_drop / denom:.2f}% of "
-            "blended) fell beyond the per-tile depth cap; raise "
-            "--max_pairs_per_tile (or pass --auto_capacity)"
+            f"{cap_drop_live:,.0f} pairs ({100.0 * cap_drop_live / denom:.2f}% "
+            "of blended) fell beyond the per-tile depth cap on tiles with "
+            "visible transmittance; raise --max_pairs_per_tile (or pass "
+            "--auto_capacity)"
         )
     return win_material, cap_material
 

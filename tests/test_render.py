@@ -334,3 +334,49 @@ def test_large_grid_1080p_geometry():
     assert np.isfinite(img).all()
     # white background everywhere off-splat, some splats rendered
     assert (np.asarray(out.contrib) > 0).sum() > 50
+
+
+class TestPairQuantum:
+    def test_quantized_expansion_matches_q1(self):
+        """Window padding (pair_quantum > 1) never changes the LIVE pair
+        set when the budget covers the padded coverage — renders must be
+        byte-identical to the unpadded expansion."""
+        cam, wp, hp = single_camera(angle=0.4)
+        arrays = _scene_arrays(400, seed=9)
+        base = dict(width_pad=wp, height_pad=hp, run_cap=256,
+                    run_chunk=64, tile_batch=16, pair_budget=1 << 20)
+        out_q1 = render_tile_camera(
+            *arrays, cam, TileConfig(**base, pair_quantum=1)
+        )
+        for q in (4, 8):
+            out_q = render_tile_camera(
+                *arrays, cam, TileConfig(**base, pair_quantum=q)
+            )
+            np.testing.assert_array_equal(
+                np.asarray(out_q.image), np.asarray(out_q1.image)
+            )
+            np.testing.assert_array_equal(
+                np.asarray(out_q.contrib), np.asarray(out_q1.contrib)
+            )
+            np.testing.assert_array_equal(
+                np.asarray(out_q.surf_dist), np.asarray(out_q1.surf_dist)
+            )
+            np.testing.assert_array_equal(
+                np.asarray(out_q.best_colour), np.asarray(out_q1.best_colour)
+            )
+
+    def test_small_budgets_skip_quantization(self):
+        """Budgets under 2^20 keep Q=1 (padding would eat the budget)."""
+        cam, wp, hp = single_camera()
+        arrays = _scene_arrays(150, seed=3)
+        base = dict(width_pad=wp, height_pad=hp, run_cap=256,
+                    run_chunk=64, tile_batch=16)
+        out_a = render_tile_camera(
+            *arrays, cam, TileConfig(**base, pair_quantum=8)
+        )
+        out_b = render_tile_camera(
+            *arrays, cam, TileConfig(**base, pair_quantum=1)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out_a.image), np.asarray(out_b.image)
+        )

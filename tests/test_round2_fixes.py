@@ -205,6 +205,49 @@ class TestTruncationObservability:
         assert nd[0] > 0  # pairs blended
         assert nd[1] > 0  # window truncation on the big splats
         assert nd[2] > 0  # run-cap truncation
+        assert 0 <= nd[3] <= nd[2]  # live-tile subset of cap drops
+
+    def test_occluded_capdrops_not_live(self):
+        """Cap drops behind an opaque front layer don't count as live."""
+        import jax
+
+        from gs2pc.camera import build_camera_batch
+        from gs2pc.ops.rasterize import TileConfig, render_tile_camera
+        from tests.test_render import look_at_camera
+
+        r = np.random.default_rng(7)
+        n = 256
+        # A dense stack of large opaque splats on one spot: the front few
+        # saturate every pixel (T -> 0), the rest are cap-dropped tails.
+        xyz = np.zeros((n, 3), np.float32)
+        xyz[:, 2] = np.linspace(0.0, 0.5, n)
+        quats = np.tile(np.array([1, 0, 0, 0], np.float32), (n, 1))
+        # Large enough that every image pixel sits well inside the core:
+        # 32 front pairs drive T below 1/255 everywhere, so the dropped
+        # tails are provably invisible.
+        scales = np.full((n, 3), 0.5, np.float32)
+        cols = r.uniform(0, 1, (n, 3)).astype(np.float32)
+        opac = np.full(n, 0.995, np.float32)
+        from gs2pc.models.gaussians import Gaussians
+
+        scene = Gaussians.create(xyz, scales, quats, cols, opac)
+        c2w, intrinsic = look_at_camera(width=64, height=64, focal=90.0)
+        cams, wp, hp = build_camera_batch(
+            {"c0": c2w.tolist()}, {"c0": intrinsic}
+        )
+        cfg = TileConfig(width_pad=wp, height_pad=hp, slots=64,
+                         slots_small=64, run_cap=32, run_chunk=32,
+                         tile_batch=8)
+        arrays = (
+            scene.xyz, scene.covariance_factors(), scene.opacities,
+            scene.colours, jnp.ones(n, bool),
+        )
+        out = jax.jit(
+            lambda a, c: render_tile_camera(*a, c.at(0), cfg)
+        )(arrays, cams)
+        nd = np.asarray(out.n_dropped)
+        assert nd[2] > 0  # tails were cap-dropped...
+        assert nd[3] == 0  # ...but every affected tile was opaque already
 
     def test_generous_caps_drop_nothing(self):
         acc = self._render_acc(
@@ -222,7 +265,7 @@ class TestTruncationObservability:
 
         acc = SweepAccumulators(
             jnp.zeros(4), jnp.zeros((4, 3)), jnp.zeros(4), jnp.zeros(4),
-            n_dropped=jnp.asarray([1000.0, 100.0, 50.0]),
+            n_dropped=jnp.asarray([1000.0, 100.0, 50.0, 50.0]),
         )
         win_mat, cap_mat = report_truncation(acc)
         assert win_mat and cap_mat
@@ -236,7 +279,7 @@ class TestTruncationObservability:
 
         acc = SweepAccumulators(
             jnp.zeros(4), jnp.zeros((4, 3)), jnp.zeros(4), jnp.zeros(4),
-            n_dropped=jnp.asarray([1_000_000.0, 10.0, 0.0]),
+            n_dropped=jnp.asarray([1_000_000.0, 10.0, 0.0, 0.0]),
         )
         win_mat, cap_mat = report_truncation(acc)
         assert not win_mat and not cap_mat
