@@ -51,7 +51,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from gs2pc.ops.blend import ALPHA_MAX, ALPHA_MIN, T_EPS
 
-TABLE_LANES = 16  # row: xy(2) conic(3) opacity(1) rgb(3) depth(1) pad(6)
+TABLE_LANES = 16  # row: [xy(2) conic(3) opa(1) depth(1) pad | rgb(3) pad]
+# (geometry half in lanes 0-7, colour half in 8-15: built from two (P, 8)
+# row gathers — see gs2pc.ops.rasterize.pack_blend_table)
 TPX = 256  # pixels per 16x16 tile
 
 
@@ -121,6 +123,10 @@ def build_aligned_pairs(
     # Sentinel row P: zeros (opacity 0 — contributes nothing if ever read).
     sentinel = jnp.zeros((1, TABLE_LANES), table.dtype)
     table_ext = jnp.concatenate([table, sentinel])
+    # Two (P+1, 8) halves: 8-lane row gathers are ~2.8x cheaper than one
+    # 16-lane gather on hardware (one sublane tile per row).
+    table_geo = table_ext[:, :8]
+    table_col = table_ext[:, 8:]
     # Row-major view of the sorted gids for the chunk fetch: chunk c needs
     # 128 CONSECUTIVE elements starting at src0[c], i.e. (a rotation of) two
     # adjacent rows of this view.
@@ -138,7 +144,13 @@ def build_aligned_pairs(
     # CONSECUTIVE, so sids are fetched with rs-wide slice gathers.
     n_win_cap = L_al // W
     CW = W // rs  # chunks per window
-    tabT0 = jnp.zeros((TABLE_LANES, L_al), table.dtype)
+    # TWO 8-row carries (geometry / colour halves), each updated ONCE per
+    # window: a single chained second update on one 16-row carry defeats
+    # XLA's in-place while_loop buffer aliasing under lax.scan and every
+    # window then copies the full gigabyte-scale table (a ~14x sweep
+    # regression observed on hardware).  Concatenated once at the end.
+    tabTg0 = jnp.zeros((8, L_al), table.dtype)
+    tabTc0 = jnp.zeros((TABLE_LANES - 8, L_al), table.dtype)
     gid0 = jnp.full((L_al,), P, jnp.int32)
     lane = jnp.arange(rs, dtype=jnp.int32)
 
@@ -147,7 +159,7 @@ def build_aligned_pairs(
         return (w * W < aligned_total) & (w < n_win_cap)
 
     def win_body(state):
-        w, tabT, gid_al = state
+        w, tabTg, tabTc, gid_al = state
         c0 = w * CW
         ch = c0 + jnp.arange(CW, dtype=jnp.int32)
         tile_c = tile_of_chunk[ch]  # (CW,) small gathers only
@@ -170,14 +182,18 @@ def build_aligned_pairs(
         runs = wide[:, :rs]
         valid = (base_c[:, None] + lane[None, :]) < count_c[:, None]
         gid_w = jnp.where(valid, runs, P).reshape(W)
-        rows = table_ext[jnp.minimum(gid_w, P)]  # (W, 16) row gather
-        tabT = jax.lax.dynamic_update_slice(tabT, rows.T, (0, w * W))
+        safe = jnp.minimum(gid_w, P)
+        rows_geo = table_geo[safe]  # (W, 8) row gathers (2x cheap halves)
+        rows_col = table_col[safe]
+        tabTg = jax.lax.dynamic_update_slice(tabTg, rows_geo.T, (0, w * W))
+        tabTc = jax.lax.dynamic_update_slice(tabTc, rows_col.T, (0, w * W))
         gid_al = jax.lax.dynamic_update_slice(gid_al, gid_w, (w * W,))
-        return w + 1, tabT, gid_al
+        return w + 1, tabTg, tabTc, gid_al
 
-    _, pair_tab, gid_al = jax.lax.while_loop(
-        win_cond, win_body, (jnp.int32(0), tabT0, gid0)
+    _, tabTg, tabTc, gid_al = jax.lax.while_loop(
+        win_cond, win_body, (jnp.int32(0), tabTg0, tabTc0, gid0)
     )
+    pair_tab = jnp.concatenate([tabTg, tabTc], axis=0)
 
     return AlignedPairs(
         pair_tab=pair_tab,
@@ -357,10 +373,10 @@ def _blend_kernel(
             cb = buf_ref[slot, 3:4, :]
             cc = buf_ref[slot, 4:5, :]
             opa = buf_ref[slot, 5:6, :]
-            col_r = buf_ref[slot, 6:7, :]
-            col_g = buf_ref[slot, 7:8, :]
-            col_b = buf_ref[slot, 8:9, :]
-            dep = buf_ref[slot, 9:10, :]
+            dep = buf_ref[slot, 6:7, :]
+            col_r = buf_ref[slot, 8:9, :]
+            col_g = buf_ref[slot, 9:10, :]
+            col_b = buf_ref[slot, 10:11, :]
 
             T = t_ref[:]  # (TPX, Rs), lane-replicated
             done_full = done_ref[:] > 0.5
@@ -531,7 +547,7 @@ def _blend_kernel(
                     in_dma(1 - slot, r + 1).start()
 
                 in_dma(slot, r).wait()
-                dep = buf_ref[slot, 9:10, :]  # (1, Rs)
+                dep = buf_ref[slot, 6:7, :]  # (1, Rs)
                 dist = jnp.abs(dep - ed_target)  # (TPX, Rs), two-way broadcast
                 dist = jnp.where(valid_full, dist, big)
                 s_in_run = (r * rs + lane) < count

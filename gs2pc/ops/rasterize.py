@@ -263,6 +263,11 @@ def _build_pairs(prep, cfg: TileConfig, sort: bool = True):
     ok_g = prep.valid & (rw > 0) & (rh > 0)
 
     s_cap = _waterfill_cap(rw, rh, ok_g, L, grid_area, quantum=Q)
+    # The packed expansion table stores (s_w, cnt) in one exact-f32 lane
+    # (9 + 15 bits), so a single window is capped at 2^15 - 1 tiles — far
+    # beyond any sane per-Gaussian budget share; the clamp is counted as
+    # window truncation below when it ever fires.
+    s_cap = jnp.minimum(s_cap, (1 << 15) - 1)
     s_w, s_h = _win_dims(rw, rh, s_cap)
     cnt = jnp.where(ok_g, s_w * s_h, 0)  # live window length
     cnt_q = -(-cnt // Q) * Q if Q > 1 else cnt  # padded (dead tail) length
@@ -320,18 +325,23 @@ def _build_pairs(prep, cfg: TileConfig, sort: bool = True):
 
     # Packed per-Gaussian expansion table: ONE row gather serves every
     # per-pair quantity.  All lanes are exact f32 values (< 2^24); the
-    # pair offset splits into hi/lo 12-bit limbs.  Row P is the sentinel.
-    gtab = jnp.zeros((P + 1, 16), jnp.float32)
-    gtab = gtab.at[:P, 0].set((off >> 12).astype(jnp.float32))
-    gtab = gtab.at[:P, 1].set((off & 0xFFF).astype(jnp.float32))
-    gtab = gtab.at[:P, 2].set(s_w.astype(jnp.float32))
-    gtab = gtab.at[:P, 3].set(ox.astype(jnp.float32))
-    gtab = gtab.at[:P, 4].set(oy.astype(jnp.float32))
-    gtab = gtab.at[:P, 5].set(xy[:, 0])
-    gtab = gtab.at[:P, 6].set(xy[:, 1])
-    gtab = gtab.at[:P, 7].set(prep.r_alpha_sq)
-    gtab = gtab.at[:P, 8].set(prep.depth)
-    gtab = gtab.at[:P, 9].set(cnt.astype(jnp.float32))
+    # pair offset splits into hi/lo 12-bit limbs, and the small integer
+    # fields pack two-per-lane so the row is 8 lanes wide — 8-lane row
+    # gathers hit the cheap one-sublane-tile gather path (~2.8x faster
+    # than 16 lanes on hardware).  Bit budgets: off <= 2^25 (13+12 limbs),
+    # ox/oy < 2^9 (grid edges <= 511 tiles — an 8K image), s_w < 2^9,
+    # cnt < 2^15 (the s_cap clamp above).  Row P is the sentinel.
+    lane0 = (off >> 12) + ((oy.astype(jnp.int32)) << 13)  # 13 + 9 bits
+    lane1 = (off & 0xFFF) + ((ox.astype(jnp.int32)) << 12)  # 12 + 9 bits
+    lane2 = s_w.astype(jnp.int32) + (cnt.astype(jnp.int32) << 9)  # 9 + 15
+    gtab = jnp.zeros((P + 1, 8), jnp.float32)
+    gtab = gtab.at[:P, 0].set(lane0.astype(jnp.float32))
+    gtab = gtab.at[:P, 1].set(lane1.astype(jnp.float32))
+    gtab = gtab.at[:P, 2].set(lane2.astype(jnp.float32))
+    gtab = gtab.at[:P, 3].set(xy[:, 0])
+    gtab = gtab.at[:P, 4].set(xy[:, 1])
+    gtab = gtab.at[:P, 5].set(prep.r_alpha_sq)
+    gtab = gtab.at[:P, 6].set(prep.depth)
 
     # Pair group -> Gaussian: windows are Q-aligned, so every Q-pair
     # group belongs to exactly ONE window.  Scatter each non-empty
@@ -347,38 +357,81 @@ def _build_pairs(prep, cfg: TileConfig, sort: bool = True):
     )
     gid_g = jax.lax.cummax(seg)  # (G,) -1 before the first window start
 
-    rows_g = gtab[jnp.where(gid_g < 0, P, gid_g)]  # (G, 16) row gather
-    rt = rows_g.T  # (16, G)
+    rows_g = gtab[jnp.where(gid_g < 0, P, gid_g)]  # (G, 8) row gather
+    rt = rows_g.T  # (8, G)
     jg = jnp.arange(G, dtype=jnp.int32) * Q  # base pair id per group
     qrow = jnp.arange(Q, dtype=jnp.int32)[:, None]  # (Q, 1)
 
-    off_p = rt[0].astype(jnp.int32) * 4096 + rt[1].astype(jnp.int32)  # (G,)
-    s_w_p = jnp.maximum(rt[2].astype(jnp.int32), 1)[None, :]
-    cnt_p = rt[9].astype(jnp.int32)[None, :]
+    h0 = rt[0].astype(jnp.int32)
+    h1 = rt[1].astype(jnp.int32)
+    h2 = rt[2].astype(jnp.int32)
+    off_p = ((h0 & 0x1FFF) << 12) + (h1 & 0xFFF)  # (G,)
+    s_w_p = jnp.maximum(h2 & 0x1FF, 1)[None, :]
+    cnt_p = (h2 >> 9)[None, :]
     k = (jg - off_p)[None, :] + qrow  # (Q, G) rank within window
     pair_ok = (gid_g >= 0)[None, :] & (k < cnt_p)
 
     dx = k % s_w_p
     dy = k // s_w_p
-    tile_x = rt[3].astype(jnp.int32)[None, :] + dx
-    tile_y = rt[4].astype(jnp.int32)[None, :] + dy
+    tile_x = (h1 >> 12)[None, :] + dx  # ox
+    tile_y = (h0 >> 13)[None, :] + dy  # oy
 
     # Circle-vs-tile cull (AdR-Gaussian-style): drop pairs whose tile rect
     # lies entirely beyond the (adaptive) radius — their best-case alpha
     # is below the blend's 1/255 cutoff, so this culls exactly.
-    px = rt[5][None, :]
-    py = rt[6][None, :]
+    px = rt[3][None, :]
+    py = rt[4][None, :]
     fx = tile_x.astype(jnp.float32) * tile
     fy = tile_y.astype(jnp.float32) * tile
     ddx = jnp.clip(px, fx, fx + (tile - 1)) - px
     ddy = jnp.clip(py, fy, fy + (tile - 1)) - py
-    pair_ok = pair_ok & (ddx * ddx + ddy * ddy <= rt[7][None, :])
+    pair_ok = pair_ok & (ddx * ddx + ddy * ddy <= rt[5][None, :])
+
+    gid_t = jnp.where(pair_ok, jnp.broadcast_to(gid_g[None, :], (Q, G)), P)
+    dbits = jax.lax.bitcast_convert_type(rt[6], jnp.int32)  # (G,) depth bits
+
+    # Sort key, two regimes (gated on L like the quantum — small/test
+    # budgets keep the reference-exact full-precision depth order):
+    #  * packed: ONE uint32 key (tile | top depth bits) + gid tiebreak —
+    #    a 2-operand sort, ~25% cheaper than 3 operands at production
+    #    sizes.  Positive-f32 depth bits are order-isomorphic, so
+    #    truncating to the low key bits only reorders pairs whose depths
+    #    agree to ~2^-(mantissa kept) relative — ties fall back to gid
+    #    (deterministic; the reference's own 64-bit key keeps full f32
+    #    depth, rasterizer_impl.cu:311-316).
+    #  * exact: (tile, depth bits, gid) 3-operand.
+    if L >= (1 << 20):
+        tile_bits = max(int(math.ceil(math.log2(cfg.num_tiles_pad + 2))), 1)
+        depth_bits = 32 - tile_bits
+        tile_key = (tile_y * cfg.grid_w + tile_x).astype(jnp.uint32)
+        dq = (
+            jnp.broadcast_to(dbits[None, :], (Q, G)).astype(jnp.uint32)
+            >> (32 - depth_bits)
+        )
+        packed_t = jnp.where(
+            pair_ok,
+            (tile_key << depth_bits) | dq,
+            jnp.uint32(0xFFFFFFFF),
+        )
+        packed = packed_t.T.reshape(L)
+        gid_out = gid_t.T.reshape(L)
+        if not sort:  # diagnostics only (tools/bench_breakdown.py)
+            keys = jnp.where(
+                packed == jnp.uint32(0xFFFFFFFF),
+                jnp.int32(_KEY_SENTINEL),
+                (packed >> depth_bits).astype(jnp.int32),
+            )
+            return keys, gid_out, win_dropped.astype(jnp.int32)
+        sp, sg = jax.lax.sort((packed, gid_out), num_keys=2)
+        sorted_keys = jnp.where(
+            sp == jnp.uint32(0xFFFFFFFF),
+            jnp.int32(_KEY_SENTINEL),
+            (sp >> depth_bits).astype(jnp.int32),
+        )
+        return sorted_keys, sg, win_dropped.astype(jnp.int32)
 
     keys_t = jnp.where(pair_ok, tile_y * cfg.grid_w + tile_x, _KEY_SENTINEL)
-    ranks_t = jnp.broadcast_to(
-        jax.lax.bitcast_convert_type(rt[8], jnp.int32)[None, :], (Q, G)
-    )
-    gid_t = jnp.where(pair_ok, jnp.broadcast_to(gid_g[None, :], (Q, G)), P)
+    ranks_t = jnp.broadcast_to(dbits[None, :], (Q, G))
 
     # (Q, G) -> pair order: group-major flatten (pair j = G-group j//Q,
     # in-window rank j%Q).
@@ -404,6 +457,30 @@ def sort_pairs(keys, ranks, gid):
         (keys, ranks, gid), num_keys=3
     )
     return sorted_keys, sorted_gid
+
+
+def pack_blend_table(prep, colours):
+    """Per-Gaussian blend table in ORIGINAL order (no depth-reorder
+    gathers — the concat fuses straight into the preprocess), PACKED one
+    row per Gaussian.  Lane layout groups the geometry half separately
+    from the colour half — [xy0 xy1 conic0..2 opacity depth pad | r g b
+    pad..] — because per-pair ROW GATHERS on TPU are ~2.8x cheaper at
+    8 f32 lanes than 16 (one sublane tile per row), so consumers fetch
+    the two (P, 8) halves with two cheap gathers instead of one
+    expensive (P, 16) gather."""
+    P = prep.xy.shape[0]
+    return jnp.concatenate(
+        [
+            prep.xy,  # 0, 1
+            prep.conic,  # 2, 3, 4
+            prep.opacity[:, None],  # 5
+            prep.depth[:, None],  # 6
+            jnp.zeros((P, 1), jnp.float32),  # 7
+            colours,  # 8, 9, 10
+            jnp.zeros((P, 5), jnp.float32),  # 11-15
+        ],
+        axis=1,
+    )
 
 
 # A dropped pair can still matter where some pixel's remaining
@@ -470,25 +547,14 @@ def render_tile_camera(
         adaptive_radius=not calc_surface_distance,
     )
 
-    # Per-Gaussian table in ORIGINAL order (no depth-reorder gathers — the
-    # concat fuses straight into the preprocess), PACKED into one row per
-    # Gaussian so each run chunk costs a single row gather: lanes
-    # [xy0, xy1, conic0..2, opacity, r, g, b, depth] + pad to 16.
-    table = jnp.concatenate(
-        [
-            prep.xy,
-            prep.conic,
-            prep.opacity[:, None],
-            colours,
-            prep.depth[:, None],
-            jnp.zeros((P, 6), jnp.float32),
-        ],
-        axis=1,
-    )
+    table = pack_blend_table(prep, colours)
 
     if cfg.width_pad * cfg.height_pad >= 2**24:
         # Best-pixel ids ride per-pair buffers as exact f32 values.
         raise ValueError("padded image must stay below 2^24 pixels")
+    if cfg.grid_w > 511 or cfg.grid_h > 511:
+        # Window origins pack into 9-bit fields of the expansion table.
+        raise ValueError("image edges must stay below 8192 pixels")
 
     keys, pair_gid, win_dropped = _build_pairs(prep, cfg)
     L = keys.shape[0]
@@ -574,14 +640,20 @@ def render_tile_camera(
         gid = pair_gid[safe]
         return gid, safe, in_run
 
+    # Two (P, 8) halves: 8-lane row gathers hit the cheap one-sublane-tile
+    # path (~2.8x faster than a 16-lane gather on hardware).
+    table_geo = table[:, :8]
+    table_col = table[:, 8:]
+
     def chunk_tables(gid):
-        t = table[gid]  # (TB, Rs, 16) — one packed gather (P clamps: masked)
+        tg = table_geo[gid]  # (TB, Rs, 8)
+        tc = table_col[gid]
         return (
-            t[..., 0:2],  # xy
-            t[..., 2:5],  # conic
-            t[..., 5],  # opacity
-            t[..., 6:9],  # colour
-            t[..., 9],  # depth
+            tg[..., 0:2],  # xy
+            tg[..., 2:5],  # conic
+            tg[..., 5],  # opacity
+            tc[..., 0:3],  # colour
+            tg[..., 6],  # depth
         )
 
     # Per-PAIR value cells, indexed by position in the sorted pair list
@@ -690,7 +762,8 @@ def render_tile_camera(
     # windowed scatter-max/min over the occupied pair prefix — max and min
     # are exactly associative, so collision order cannot change results.
     contrib, best_colour, best_pix = _pair_reduce(
-        pair_gid, matab[:, 0], matab[:, 1], image, P, n_real
+        pair_gid, matab[:, 0], matab[:, 1], image, P, n_real,
+        allow_packed=cfg.width_pad * cfg.height_pad < (1 << 20),
     )
 
     if calc_surface_distance:
@@ -707,7 +780,7 @@ def render_tile_camera(
         # Direct per-Gaussian scatter-min (min is exactly associative, so
         # collisions are order-free and deterministic); row P is the dump.
         sdtab0 = jnp.full(P + 1, FLOAT_MAX, jnp.float32)
-        depth_tbl = table[:, 9]  # 1-col gathers are far cheaper than rows
+        depth_tbl = table[:, 6]  # 1-col gathers are far cheaper than rows
 
         def surf_batch(sdtab, b):
             tids = jax.lax.dynamic_slice_in_dim(tid_by_load, b * TB, TB)
@@ -764,7 +837,7 @@ _APIX_NONE = jnp.float32(1 << 24)  # > any padded pixel id (asserted < 2^24)
 
 def _pair_reduce(
     gid_pairs, m_pairs, apix_pairs, image, P: int, n_occupied,
-    sd_pairs=None,
+    sd_pairs=None, allow_packed: bool = True,
 ):
     """Per-pair values -> per-Gaussian (max contribution, best colour
     [, min surface distance]) via windowed scatter reductions over the
@@ -783,11 +856,65 @@ def _pair_reduce(
     n_win_cap = -(-Lp // W)
     with_sd = sd_pairs is not None
     m_pairs = m_pairs[:Lp]
-    apix_pairs = apix_pairs[:Lp].astype(jnp.float32)
+    # Argmax-pixel policy, two regimes (gated on Lp like the expansion):
+    #  * exact (small/test scales): second windowed pass — among pairs
+    #    matching the Gaussian's exact max contribution, lowest pixel id.
+    #  * packed (production scales): ONE extra scatter-max in pass 1 of
+    #    (m linearly quantized to 12 bits | complemented pixel id) — the
+    #    colour-source pixel is then the lowest pixel id among pairs
+    #    whose contribution is within 2^-12 ABSOLUTE of the max.  The
+    #    reported contributions stay exact (separate scatter); only the
+    #    colour-sampling pixel can differ, and only between pairs whose
+    #    contributions tie to 2.4e-4 — a band the reference resolves by
+    #    atomic-race order anyway (forward.cu:428-456).  Saves the
+    #    second windowed pass and its per-pair ctab gather.  Requires
+    #    pixel ids to fit 20 bits (callers gate via ``allow_packed``).
+    fast = allow_packed and Lp >= (1 << 20)
 
     def cond(state):
         w = state[0]
         return (w * W < n_occupied) & (w < n_win_cap)
+
+    if fast:
+        apix_u = apix_pairs[:Lp].astype(jnp.uint32)
+        q_pairs = (
+            jnp.minimum((m_pairs * 4096.0), 4095.0).astype(jnp.uint32)
+            << 20
+        ) | (jnp.uint32(0xFFFFF) - apix_u)
+
+        def body1f(state):
+            w, ctab, qtab, sdtab = state
+            off = w * W
+            g = jax.lax.dynamic_slice_in_dim(gid_pairs, off, W)
+            m = jax.lax.dynamic_slice_in_dim(m_pairs, off, W)
+            q = jax.lax.dynamic_slice_in_dim(q_pairs, off, W)
+            ctab = ctab.at[g].max(m)
+            qtab = qtab.at[g].max(q)
+            if with_sd:
+                sd = jax.lax.dynamic_slice_in_dim(sd_pairs, off, W)
+                sdtab = sdtab.at[g].min(sd)
+            return w + 1, ctab, qtab, sdtab
+
+        ctab0 = jnp.zeros(P + 1, jnp.float32)
+        qtab0 = jnp.zeros(P + 1, jnp.uint32)
+        sdtab0 = jnp.full(P + 1 if with_sd else 1, FLOAT_MAX, jnp.float32)
+        _, ctab, qtab, sdtab = jax.lax.while_loop(
+            cond, body1f, (jnp.int32(0), ctab0, qtab0, sdtab0)
+        )
+        contrib = ctab[:P]
+        apix = (
+            jnp.uint32(0xFFFFF) - (qtab[:P] & jnp.uint32(0xFFFFF))
+        ).astype(jnp.int32)
+        apix = jnp.where(contrib > 0.0, apix, 0)
+        best_colour = jnp.where(
+            (contrib > 0.0)[:, None], image.reshape(-1, 3)[apix], 0.0
+        )
+        if with_sd:
+            surf = jnp.where(jnp.isinf(sdtab[:P]), FLOAT_MAX, sdtab[:P])
+            return contrib, best_colour, apix, surf
+        return contrib, best_colour, apix
+
+    apix_pairs = apix_pairs[:Lp].astype(jnp.float32)
 
     def body1(state):
         w, ctab, sdtab = state
@@ -911,13 +1038,16 @@ def _finish_pallas(
     # Per-Gaussian reductions: windowed scatter-max/min of per-pair
     # (m, apix[, sd]) by Gaussian id over the occupied aligned prefix
     # [0, pairs.total) (sentinel gid == P dumps) — see _pair_reduce.
+    packed_ok = cfg.width_pad * cfg.height_pad < (1 << 20)
     if calc_surface_distance:
         contrib, best_colour, best_pix, surf = _pair_reduce(
-            pairs.gid, m_al, apix_al, image, P, pairs.total, sd_pairs=sd_al
+            pairs.gid, m_al, apix_al, image, P, pairs.total,
+            sd_pairs=sd_al, allow_packed=packed_ok,
         )
     else:
         contrib, best_colour, best_pix = _pair_reduce(
-            pairs.gid, m_al, apix_al, image, P, pairs.total
+            pairs.gid, m_al, apix_al, image, P, pairs.total,
+            allow_packed=packed_ok,
         )
         surf = jnp.full(P, FLOAT_MAX, jnp.float32)
 

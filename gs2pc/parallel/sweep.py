@@ -231,11 +231,22 @@ def auto_dispatch_cams(
     cfg: TileConfig, num_gaussians: int, n_cams: int, requested: int = 0
 ) -> int:
     """Cameras per dispatch: explicit request, or sized from the pair
-    budget so each dispatch stays well under the watchdog (0 = auto)."""
+    budget so each dispatch stays well under the watchdog (0 = auto).
+
+    Auto prefers a DIVISOR of the camera count near the budget-derived
+    size: the remainder dispatch otherwise pads with inert cameras that
+    still pay the full per-camera expansion+sort."""
     if requested > 0:
         return min(requested, n_cams)
     budget = max(cfg.pair_budget_for(num_gaussians), 1)
-    return max(1, min(n_cams, PAIRS_PER_DISPATCH // budget))
+    k = max(1, min(n_cams, PAIRS_PER_DISPATCH // budget))
+    if k >= n_cams:
+        return n_cams
+    hi = min(n_cams, k + (k + 3) // 4)  # allow ~25% over the target
+    for cand in range(hi, max(1, k // 2) - 1, -1):
+        if n_cams % cand == 0:
+            return cand
+    return k
 
 
 def slice_cameras(cameras: CameraBatch, start: int, count: int) -> CameraBatch:

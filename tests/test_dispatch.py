@@ -132,8 +132,14 @@ class TestChunkedSweep:
 
     def test_auto_sizing(self):
         cfg = TileConfig(width_pad=1280, height_pad=720, pair_budget=1 << 25)
-        # Production budget: few cameras per dispatch.
-        assert auto_dispatch_cams(cfg, 3_000_000, 45) == 4
+        # Production budget: few cameras per dispatch — the nearest
+        # divisor of the camera count wins (no inert-padding dispatch).
+        assert auto_dispatch_cams(cfg, 3_000_000, 45) == 5
+        assert auto_dispatch_cams(
+            cfg._replace(pair_budget=1 << 24), 3_000_000, 45
+        ) == 9
+        # No divisor near the target: fall back to the raw size.
+        assert auto_dispatch_cams(cfg, 3_000_000, 43) == 4
         # Tiny test budgets: single dispatch.
         tiny = cfg._replace(pair_budget=1 << 14)
         assert auto_dispatch_cams(tiny, 1000, 45) == 45

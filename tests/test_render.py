@@ -380,3 +380,58 @@ class TestPairQuantum:
         np.testing.assert_array_equal(
             np.asarray(out_a.image), np.asarray(out_b.image)
         )
+
+
+class TestPackedArgmax:
+    def test_packed_matches_exact_outside_tie_band(self):
+        """The production single-scatter argmax (m quantized to 12 bits,
+        pixel tiebreak) must report IDENTICAL contributions and pick the
+        exact argmax pixel whenever the top-2 pair contributions are
+        separated by more than one quantum (1/4096)."""
+        from gs2pc.ops.rasterize import _pair_reduce
+
+        r = np.random.default_rng(11)
+        L = 1 << 20
+        P = 5000
+        gid = r.integers(0, P, L).astype(np.int32)
+        m = r.uniform(0.0, 0.99, L).astype(np.float32)
+        # Zero out a slice so some gaussians have m == 0 paths exercised.
+        m[r.uniform(size=L) < 0.05] = 0.0
+        apix = r.integers(0, 48 * 48, L).astype(np.int32)
+        image = r.uniform(0, 1, (48 * 48, 3)).astype(np.float32)
+        img2d = jnp.asarray(image.reshape(48, 48, 3))
+        n_occ = jnp.int32(L)
+
+        def run(allow_packed):
+            return jax.jit(
+                lambda g, mm, a: _pair_reduce(
+                    g, mm, a, img2d, P, n_occ, allow_packed=allow_packed
+                )
+            )(jnp.asarray(gid), jnp.asarray(m), jnp.asarray(apix))
+
+        c_fast, col_fast, pix_fast = run(True)
+        c_ex, col_ex, pix_ex = run(False)
+
+        np.testing.assert_array_equal(np.asarray(c_fast), np.asarray(c_ex))
+
+        # Per-gaussian top-2 separation.
+        order = np.lexsort((m, gid))
+        gs, ms = gid[order], m[order]
+        top1 = np.zeros(P, np.float32)
+        top2 = np.zeros(P, np.float32)
+        for g, mm in zip(gs, ms):  # sorted ascending per gid
+            if mm > top1[g]:
+                top2[g] = top1[g]
+                top1[g] = mm
+            elif mm > top2[g]:
+                top2[g] = mm
+        clear = (top1 - top2) > (1.5 / 4096.0)
+        seen = np.asarray(c_ex) > 0
+        sel = clear & seen
+        assert sel.sum() > P // 2  # the band is narrow: most are clear
+        np.testing.assert_array_equal(
+            np.asarray(pix_fast)[sel], np.asarray(pix_ex)[sel]
+        )
+        np.testing.assert_array_equal(
+            np.asarray(col_fast)[sel], np.asarray(col_ex)[sel]
+        )

@@ -98,10 +98,7 @@ def main():
 
         prep = prep_only(means, covf, op, col, alive)
         P = means.shape[0]
-        table = jnp.concatenate(
-            [prep.xy, prep.conic, prep.opacity[:, None], col,
-             prep.depth[:, None], jnp.zeros((P, 6), jnp.float32)], axis=1,
-        )
+        table = rasterize.pack_blend_table(prep, col)
         keys, gid, _ = rasterize._build_pairs(prep, cfg)
         pairs = build_aligned_pairs(
             table, keys, gid,

@@ -44,13 +44,16 @@ def main():
     ap.add_argument("--width", type=int, default=1280)
     ap.add_argument("--height", type=int, default=720)
     ap.add_argument("--surface", action="store_true")
+    ap.add_argument("--pair_budget_log2", type=int, default=0)
     args = ap.parse_args()
 
     scene = bench.make_scene(args.gaussians)
     cameras, wp, hp = bench.make_cameras(1, args.width, args.height)
     cam = cameras.at(0)
     cfg = TileConfig(width_pad=wp, height_pad=hp, slots=16,
-                     run_cap=4096, run_chunk=128, tile_batch=128)
+                     run_cap=4096, run_chunk=128, tile_batch=128,
+                     pair_budget=(1 << args.pair_budget_log2
+                                  if args.pair_budget_log2 else 0))
     arrays = (
         scene.xyz, scene.covariance_factors(), scene.opacities,
         scene.colours, jnp.ones(scene.num_gaussians, bool),
@@ -76,16 +79,7 @@ def main():
     print(f"pair expand+sort:      {t*1000:8.1f} ms   (L={keys.shape[0]}, real={n_real})")
 
     def make_table(prep):
-        P = prep.xy.shape[0]
-        return jnp.concatenate(
-            [
-                prep.xy, prep.conic,
-                prep.opacity[:, None], scene.colours,
-                prep.depth[:, None],
-                jnp.zeros((P, 6), jnp.float32),
-            ],
-            axis=1,
-        )
+        return rasterize.pack_blend_table(prep, scene.colours)
 
     t, table = timed(jax.jit(make_table), prep)
     print(f"packed table build:    {t*1000:8.1f} ms")
@@ -114,8 +108,23 @@ def main():
             run_cap_hint=cfg.run_cap, with_surface=args.surface,
         )
 
-    t, _ = timed(stage_blend, pairs)
+    t, blend_out = timed(stage_blend, pairs)
     print(f"blend kernel (surface={args.surface!s:5}): {t*1000:6.1f} ms")
+
+    P = args.gaussians
+
+    @jax.jit
+    def stage_post(pairs, blend_out):
+        rgb, _, _, _, m_al, apix_al, sd_al, _ = blend_out
+        from gs2pc.ops.rasterize import _pair_reduce, _untile
+        image = _untile(rgb, cfg)
+        if args.surface:
+            return _pair_reduce(pairs.gid, m_al, apix_al, image, P,
+                                pairs.total, sd_pairs=sd_al)
+        return _pair_reduce(pairs.gid, m_al, apix_al, image, P, pairs.total)
+
+    t, _ = timed(stage_post, pairs, blend_out)
+    print(f"post reductions:       {t*1000:8.1f} ms")
 
     @jax.jit
     def full(means, covf, op, col, alive):
