@@ -84,6 +84,7 @@ def build_aligned_pairs(
     num_tiles_pad: int,
     run_cap: int,
     run_chunk: int,
+    tile_live: jnp.ndarray | None = None,  # (NTP,) bool; False = skip tile
 ) -> AlignedPairs:
     L = keys.shape[0]
     P = table.shape[0]
@@ -94,6 +95,13 @@ def build_aligned_pairs(
     starts = jnp.searchsorted(keys, tids, side="left").astype(jnp.int32)
     ends = jnp.searchsorted(keys, tids, side="right").astype(jnp.int32)
     counts = jnp.minimum(ends - starts, run_cap)
+    if tile_live is not None:
+        # Tiles whose every pixel is masked out produce nothing: the
+        # blend skips invalid pixels and the surface pass excludes them
+        # from its min, so dropping their runs here is byte-identical
+        # while skipping their share of the table gathers, the kernel
+        # stream, and the per-pair reductions.
+        counts = jnp.where(tile_live, counts, 0)
 
     aligned = -(-counts // rs) * rs
     astarts = jnp.concatenate(

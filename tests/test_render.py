@@ -435,3 +435,43 @@ class TestPackedArgmax:
         np.testing.assert_array_equal(
             np.asarray(col_fast)[sel], np.asarray(col_ex)[sel]
         )
+
+    def test_packed_surface_min_is_exact(self):
+        """The fused uint32 row scatter (complemented-bits lane for the
+        surface min) must reproduce the exact f32 scatter-min, including
+        FLOAT_MAX sentinels for never-touched Gaussians."""
+        from gs2pc.ops.blend import FLOAT_MAX
+        from gs2pc.ops.rasterize import _pair_reduce
+
+        r = np.random.default_rng(7)
+        L = 1 << 20
+        P = 4096
+        gid = r.integers(0, P, L).astype(np.int32)
+        gid[gid % 17 == 0] = P  # sentinel dump rows
+        m = r.uniform(0.0, 0.99, L).astype(np.float32)
+        apix = r.integers(0, 32 * 32, L).astype(np.int32)
+        sd = r.uniform(0.0, 5.0, L).astype(np.float32)
+        sd[r.uniform(size=L) < 0.02] = FLOAT_MAX
+        img2d = jnp.asarray(
+            r.uniform(0, 1, (32, 32, 3)).astype(np.float32)
+        )
+
+        def run(allow_packed):
+            return jax.jit(
+                lambda g, mm, a, s: _pair_reduce(
+                    g, mm, a, img2d, P, jnp.int32(L), sd_pairs=s,
+                    allow_packed=allow_packed,
+                )
+            )(
+                jnp.asarray(gid), jnp.asarray(m), jnp.asarray(apix),
+                jnp.asarray(sd),
+            )
+
+        c_fast, _, _, s_fast = run(True)
+        c_ex, _, _, s_ex = run(False)
+        np.testing.assert_array_equal(np.asarray(c_fast), np.asarray(c_ex))
+        np.testing.assert_array_equal(np.asarray(s_fast), np.asarray(s_ex))
+
+        ref = np.full(P + 1, FLOAT_MAX, np.float32)
+        np.minimum.at(ref, gid, sd)
+        np.testing.assert_array_equal(np.asarray(s_fast), ref[:P])
