@@ -59,7 +59,7 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
         args.transform_path,
         args.mask_path,
         settings,
-        num_devices=args.num_devices if args.num_devices else 1,
+        num_devices=args.num_devices,  # 0 = all local devices
     )
 
     if profiling:

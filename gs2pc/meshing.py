@@ -88,6 +88,26 @@ def statistical_outlier_mask(
     return mean_knn <= mu + std_ratio * sigma
 
 
+def _open3d_outlier_keep(
+    points: np.ndarray, nb_neighbors: int, std_ratio: float
+) -> Optional[np.ndarray]:
+    """Exact Open3D statistical-outlier keep mask, or None if Open3D is
+    not importable.  Exact reference parity (mesh_handler.py:89-94): true
+    kNN mean distances, keep mean_knn <= mu + std_ratio * sigma."""
+    try:
+        import open3d as o3d
+    except ImportError:
+        return None
+    pc = o3d.geometry.PointCloud()
+    pc.points = o3d.utility.Vector3dVector(np.asarray(points, np.float64))
+    _, kept_idx = pc.remove_statistical_outlier(
+        nb_neighbors=nb_neighbors, std_ratio=std_ratio
+    )
+    keep = np.zeros(len(points), bool)
+    keep[np.asarray(kept_idx, np.int64)] = True
+    return keep
+
+
 def clean_point_cloud(
     points,
     colours,
@@ -95,15 +115,25 @@ def clean_point_cloud(
     std_ratio: float = 10.0,
     nb_neighbors: int = 20,
 ) -> Tuple[np.ndarray, np.ndarray, Optional[np.ndarray]]:
-    """Parity: mesh_handler.py:89-94 (nb=20, std_ratio=10), JAX-native."""
-    pts = jnp.asarray(points, jnp.float32)
-    keep = np.asarray(
-        jax.jit(
-            lambda p: statistical_outlier_mask(
-                p, nb_neighbors=nb_neighbors, std_ratio=std_ratio
-            )
-        )(pts)
-    )
+    """Parity: mesh_handler.py:89-94 (nb=20, std_ratio=10).
+
+    When Open3D is importable the cleanup delegates to its exact-kNN
+    ``remove_statistical_outlier`` (bit-for-bit reference behaviour);
+    otherwise the dependency-free JAX Morton-window approximation runs
+    on-device (outliers are far from *everything*, so the windowed kNN
+    errs on the safe side; tests/test_meshing_native.py bounds the
+    approx-vs-exact disagreement on adversarial clouds).
+    """
+    keep = _open3d_outlier_keep(np.asarray(points), nb_neighbors, std_ratio)
+    if keep is None:
+        pts = jnp.asarray(points, jnp.float32)
+        keep = np.asarray(
+            jax.jit(
+                lambda p: statistical_outlier_mask(
+                    p, nb_neighbors=nb_neighbors, std_ratio=std_ratio
+                )
+            )(pts)
+        )
     points = np.asarray(points)[keep]
     colours = np.asarray(colours)[keep]
     normals = None if normals is None else np.asarray(normals)[keep]

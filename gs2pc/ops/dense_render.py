@@ -46,7 +46,20 @@ def render_dense(
     calc_surface_distance: bool = True,
     mask: Optional[jnp.ndarray] = None,  # (Hp*Wp,) uint8/bool
     rect_cull: bool = False,  # emulate tile-rect culling (parity testing)
+    block_range: Optional[tuple] = None,  # (lo, count) pixel-block band
 ) -> RenderOutput:
+    """Exact dense oracle (one blend step per Gaussian chunk x pixel block).
+
+    ``block_range=(lo, count)`` renders only the ``count`` pixel blocks
+    starting at block ``lo`` — the at-scale PSNR gate (bench.py) uses it
+    to split a 1M-Gaussian 720p oracle render into several short
+    dispatches instead of one watchdog-length program.  ``count`` must be
+    static; ``lo`` may be a traced scalar, so every band shares ONE
+    compiled program.  In band mode ``image``/``depth``/``invdepth``
+    cover only the selected rows (callers pick ``pixel_chunk`` as a
+    multiple of ``width_pad`` so blocks are whole rows) and the
+    per-Gaussian accumulators are partial (maxima over the selected
+    blocks only)."""
     P = means.shape[0]
     n_chunks = -(-P // chunk)
     P_pad = n_chunks * chunk
@@ -106,6 +119,12 @@ def render_dense(
     px_blocks = px_all.reshape(n_blk, blk, 2)
     valid_blocks = valid_all.reshape(n_blk, blk)
     base_blocks = jnp.arange(n_blk, dtype=jnp.int32) * blk
+    if block_range is not None:
+        b_lo, n_sel = block_range
+        n_sel = int(n_sel)
+        px_blocks = jax.lax.dynamic_slice_in_dim(px_blocks, b_lo, n_sel)
+        valid_blocks = jax.lax.dynamic_slice_in_dim(valid_blocks, b_lo, n_sel)
+        base_blocks = jax.lax.dynamic_slice_in_dim(base_blocks, b_lo, n_sel)
 
     def block_step(pg, inp):
         m_run, apix_run, sd_run = pg
@@ -185,17 +204,29 @@ def render_dense(
         block_step, pg0, (px_blocks, valid_blocks, base_blocks)
     )
 
-    img_flat = img_b.reshape(npx_pad, 3)[:npx]
-    ed_flat = ed_b.reshape(npx_pad)[:npx]
-    einv_flat = einv_b.reshape(npx_pad)[:npx]
+    if block_range is not None:
+        img_flat = img_b.reshape(n_sel * blk, 3)
+        ed_flat = ed_b.reshape(n_sel * blk)
+        einv_flat = einv_b.reshape(n_sel * blk)
+        out_h = (n_sel * blk) // width_pad
+    else:
+        img_flat = img_b.reshape(npx_pad, 3)[:npx]
+        ed_flat = ed_b.reshape(npx_pad)[:npx]
+        einv_flat = einv_b.reshape(npx_pad)[:npx]
+        out_h = height_pad
 
     # Per-gaussian accumulators back in original index order.
     contrib = jnp.zeros(P, jnp.float32).at[order].set(m_sorted[:P])
     best_pix = jnp.zeros(P, jnp.int32).at[order].set(apix_sorted[:P])
     best_pix = jnp.clip(best_pix, 0, npx - 1)
-    best_colour = jnp.where(
-        (contrib > 0.0)[:, None], img_flat[best_pix], 0.0
-    )
+    if block_range is not None:
+        # best_pix is a GLOBAL pixel id but only the band's rows exist;
+        # band callers want images, not colour snapshots.
+        best_colour = jnp.zeros((P, 3), jnp.float32)
+    else:
+        best_colour = jnp.where(
+            (contrib > 0.0)[:, None], img_flat[best_pix], 0.0
+        )
 
     # Surface distance: min over the Gaussian's tile-rect pixels of
     # |depth_g - expected_depth| (deterministic version of the racy
@@ -206,9 +237,9 @@ def render_dense(
         surf = jnp.full(P, FLOAT_MAX, jnp.float32)
 
     return RenderOutput(
-        image=img_flat.reshape(height_pad, width_pad, 3),
-        depth=ed_flat.reshape(height_pad, width_pad),
-        invdepth=einv_flat.reshape(height_pad, width_pad),
+        image=img_flat.reshape(out_h, width_pad, 3),
+        depth=ed_flat.reshape(out_h, width_pad),
+        invdepth=einv_flat.reshape(out_h, width_pad),
         radii=prep.radius,
         contrib=contrib,
         best_colour=best_colour,

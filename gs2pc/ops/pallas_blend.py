@@ -98,9 +98,13 @@ def build_aligned_pairs(
     if tile_live is not None:
         # Tiles whose every pixel is masked out produce nothing: the
         # blend skips invalid pixels and the surface pass excludes them
-        # from its min, so dropping their runs here is byte-identical
-        # while skipping their share of the table gathers, the kernel
-        # stream, and the per-pair reductions.
+        # from its min, so dropping their runs changes no image pixel,
+        # contribution, or surface distance, and skips their share of the
+        # table gathers, the kernel stream, and the per-pair reductions.
+        # (In the packed argmax-pixel regime the dropped zero slots are
+        # made inert in _pair_reduce — see the q_pairs zeroing there — so
+        # the colour-sampling pixel is unchanged too, up to the
+        # documented 2^-12 contribution tie band.)
         counts = jnp.where(tile_live, counts, 0)
 
     aligned = -(-counts // rs) * rs

@@ -202,12 +202,15 @@ def auto_pair_budget(
     scene_arrays, cameras, cfg: TileConfig,
     calc_surface_distance: bool = True,
 ) -> int:
-    """Probe coverage and pick a power-of-two pair budget covering it.
+    """Probe coverage and pick a quarter-octave pair budget covering it.
 
-    Power-of-two bucketing keeps recompiles rare across runs; the +2%
-    margin absorbs the probe's f32 rounding.  Needs beyond the HBM
-    ceiling clamp (and the sweep's truncation counters report the
-    loss)."""
+    Buckets are multiples of 2^(log2(need)-2) — i.e. {4,5,6,7,8}/4 x a
+    power of two — so dead-pair padding stays under 25% (a pure pow-2
+    bucket wasted up to ~50% of the sort/expand/reduce work on dead
+    sentinels) while distinct budgets per octave stay at ~4, keeping
+    recompiles rare across runs.  The +2% margin absorbs the probe's f32
+    rounding.  Needs beyond the HBM ceiling clamp (and the sweep's
+    truncation counters report the loss)."""
     need = float(
         jax.jit(
             lambda a, c: coverage_need(
@@ -215,8 +218,9 @@ def auto_pair_budget(
             )
         )(scene_arrays, cameras)
     )
-    want = int(need * 1.02) + 4096
-    budget = 1 << max(14, math.ceil(math.log2(max(want, 2))))
+    want = max(int(need * 1.02) + 4096, 1 << 14)
+    step = 1 << max(12, int(math.floor(math.log2(want))) - 2)
+    budget = -(-want // step) * step
     return min(budget, PAIR_BUDGET_CEIL)
 
 
@@ -559,6 +563,18 @@ def render_tile_camera(
     keys, pair_gid, win_dropped = _build_pairs(prep, cfg)
     L = keys.shape[0]
 
+    # Fully-masked tiles produce nothing (invalid pixels blend nothing and
+    # are excluded from the surface min): their runs are zeroed once here
+    # and the same liveness predicate feeds the diagnostics, the XLA blend
+    # batches and the Pallas aligned-pair build.  `!= 0` matches the
+    # per-pixel validity predicate exactly (a signed mask with negative
+    # truthy values must not skip its tile).
+    tile_live_mask = None
+    if mask is not None:
+        tile_live_mask = jnp.max(
+            _to_tiles(mask, cfg, 0, mask.dtype) != 0, axis=1
+        )  # (NTP,) bool
+
     # Truncation diagnostics (float32 counters: psum-able, overflow-safe):
     # [pairs blended, window-truncated candidates, run-cap-dropped pairs,
     # run-cap drops on LIVE tiles].  The 4th entry is appended after the
@@ -571,6 +587,9 @@ def render_tile_camera(
     d_starts = jnp.searchsorted(keys, diag_tids, side="left")
     d_ends = jnp.searchsorted(keys, diag_tids, side="right")
     d_runs = (d_ends - d_starts).astype(jnp.float32)
+    if tile_live_mask is not None:
+        # Masked-out tiles stream no pairs: keep the counters honest.
+        d_runs = jnp.where(tile_live_mask[: cfg.num_tiles], d_runs, 0.0)
     cap_drop_tiles = jnp.maximum(d_runs - cfg.run_cap, 0.0)  # (num_tiles,)
     runcap_dropped = jnp.sum(cap_drop_tiles)
     pairs_blended = jnp.sum(jnp.minimum(d_runs, cfg.run_cap))
@@ -591,6 +610,7 @@ def render_tile_camera(
             prep, table, keys, pair_gid, camera, cfg, mask,
             white_bkgd, calc_surface_distance, pallas_interpret, P, diag,
             cap_drop_tiles=cap_drop_tiles,
+            tile_live_mask=tile_live_mask,
             init_trans=init_trans,
             early_stop=early_stop,
             want_trans=want_trans,
@@ -609,12 +629,10 @@ def render_tile_camera(
     starts_all = jnp.searchsorted(keys, all_tids, side="left").astype(jnp.int32)
     ends_all = jnp.searchsorted(keys, all_tids, side="right").astype(jnp.int32)
     counts_all = jnp.minimum(ends_all - starts_all, cfg.run_cap)
-    if mask is not None:
-        # Fully-masked tiles produce nothing (invalid pixels blend
-        # nothing and are excluded from the surface min): zero their
-        # runs so the load-ordered batches skip them outright.
-        tile_live = jnp.max(_to_tiles(mask, cfg, 0, mask.dtype), axis=1) > 0
-        counts_all = jnp.where(tile_live, counts_all, 0)
+    if tile_live_mask is not None:
+        # Zero fully-masked tiles' runs so the load-ordered batches skip
+        # them outright (liveness predicate computed once above).
+        counts_all = jnp.where(tile_live_mask, counts_all, 0)
 
     # Process tiles in descending-run-length order: each batch's inner loop
     # runs only ceil(batch_max/Rs) dynamic steps, so sparse tiles don't pay
@@ -887,6 +905,11 @@ def _pair_reduce(
             jnp.minimum((m_pairs * 4096.0), 4095.0).astype(jnp.uint32)
             << 20
         ) | (jnp.uint32(0xFFFFF) - apix_u)
+        # Zero-contribution rows are INERT: unset/removed slots (XLA matab
+        # rows never written, Pallas early-exit zero fill, masked-tile
+        # drops) must not steal the argmax pixel from a real pair whose
+        # contribution quantizes below 2^-12.
+        q_pairs = jnp.where(m_pairs > 0.0, q_pairs, jnp.uint32(0))
         # Three SEPARATE element scatters, deliberately: folding them
         # into one multi-lane uint32 row scatter-max (order-isomorphic
         # bit packing) measured ~1.8x SLOWER on hardware (372 vs 207 ms
@@ -990,7 +1013,7 @@ def _to_tiles(flat, cfg: TileConfig, fill, dtype):
 def _finish_pallas(
     prep, table, keys, pair_gid, camera, cfg: TileConfig, mask,
     white_bkgd, calc_surface_distance, interpret, P, diag=None,
-    cap_drop_tiles=None,
+    cap_drop_tiles=None, tile_live_mask=None,
     init_trans=None, early_stop=True, want_trans=False,
     want_best_pix=False, surface_ed_override=None,
 ):
@@ -1002,8 +1025,16 @@ def _finish_pallas(
     tpx = cfg.tile * cfg.tile
 
     if mask is not None:
-        mask_tiles = _to_tiles(mask, cfg, 0, mask.dtype).astype(jnp.uint8)
-        tile_live = jnp.max(mask_tiles, axis=1) > 0
+        # Normalised to 0/1: the kernel tests its float-cast mask block
+        # against 0.5, which must match the `!= 0` pixel predicate even
+        # for (out-of-contract) signed mask dtypes.
+        mask_tiles = (
+            _to_tiles(mask, cfg, 0, mask.dtype) != 0
+        ).astype(jnp.uint8)
+        tile_live = (
+            tile_live_mask if tile_live_mask is not None
+            else jnp.max(mask_tiles != 0, axis=1)
+        )
     else:
         mask_tiles = jnp.ones((NTP, tpx), jnp.uint8)
         tile_live = None

@@ -40,6 +40,7 @@ def distribute_points(
     gaussian_sizes: jnp.ndarray,
     num_points: int,
     mask: jnp.ndarray | None = None,
+    exact: bool = False,
 ) -> jnp.ndarray:
     """Assign an integer point quota per Gaussian, proportional to size.
 
@@ -52,12 +53,43 @@ def distribute_points(
     Gaussians ride along with size 0 (fixed-shape, no compaction) and must
     not be resurrected; the promotion order over eligible Gaussians is
     identical to running on a compacted array.
+
+    ``exact=True`` (--exact_num_points) switches to largest-remainder
+    apportionment: quota_i = floor(raw_i) plus one extra point for the
+    ``num_points - sum(floor)`` largest fractional parts, so the quotas
+    sum to EXACTLY ``num_points`` (the reference's intent at
+    gauss_to_pc.py:616 — its 100-attempt loop can still over- or
+    under-shoot; here the sampler meets every quota, so exactness is
+    structural).  Ties and the zero-size exclusion are broken by index
+    (deterministic).
     """
     gaussian_sizes = jnp.asarray(gaussian_sizes, jnp.float32)
+    if mask is not None:
+        gaussian_sizes = jnp.where(mask, gaussian_sizes, 0.0)
     total = jnp.sum(gaussian_sizes)
     ratio = num_points / jnp.maximum(total, 1e-20)
-    ppg = jnp.round(gaussian_sizes * ratio).astype(jnp.int32)
+    raw = gaussian_sizes * ratio
 
+    if exact:
+        eligible = gaussian_sizes > 0.0
+        base = jnp.floor(raw).astype(jnp.int32)
+        base = jnp.where(eligible, base, 0)
+        rem = jnp.int32(num_points) - jnp.sum(base)
+        # Rank eligible Gaussians by fractional part, descending; the
+        # first `rem` get one extra point.  rem <= #eligible whenever the
+        # scene has >= num_points' worth of fractional mass; the final
+        # clip guards degenerate scenes (fewer eligible than rem), where
+        # the sampler's in-budget clamp keeps the count <= num_points.
+        frac = jnp.where(eligible, raw - jnp.floor(raw), -1.0)
+        order = jnp.argsort(-frac)  # stable: index breaks ties
+        bump_rank = jnp.zeros_like(base).at[order].set(
+            jnp.arange(base.shape[0], dtype=jnp.int32)
+        )
+        n_elig = jnp.sum(eligible.astype(jnp.int32))
+        bump = eligible & (bump_rank < jnp.clip(rem, 0, n_elig))
+        return base + bump.astype(jnp.int32)
+
+    ppg = jnp.round(raw).astype(jnp.int32)
     deficit = num_points - jnp.sum(ppg)
     zeros = ppg == 0
     if mask is not None:
@@ -121,6 +153,7 @@ def sample_points(
     n_cap: int,
     mahalanobis_std: float = 2.0,
     num_attempts: int = 5,
+    max_points: int | None = None,
 ) -> SampledPoints:
     """Draw every point of the cloud in one fixed-shape pass.
 
@@ -135,6 +168,8 @@ def sample_points(
             5/100-attempt rejection loop (gauss_to_pc.py:535) is replaced
             by exact inverse-CDF sampling, which never drops a point (so
             exact_num_points needs no extra attempts either).
+        max_points: optional hard cap on the emitted count (exact mode
+            passes num_points so the output can never overshoot it).
 
     Returns:
         SampledPoints with ``valid`` marking accepted, in-budget points.
@@ -142,6 +177,8 @@ def sample_points(
     ppg = jnp.asarray(points_per_gaussian, jnp.int32)
     offsets = jnp.cumsum(ppg)
     total = offsets[-1] if ppg.shape[0] > 0 else jnp.int32(0)
+    if max_points is not None:
+        total = jnp.minimum(total, jnp.int32(max_points))
     P_num = gaussians.num_gaussians
 
     # Slot -> Gaussian map: scatter each Gaussian's id at its first slot,
@@ -213,9 +250,11 @@ def generate_pointcloud(
 
     size -> distribute -> flat sample.  No binning: quotas are exact per
     Gaussian rather than bin midpoints, which strictly improves fidelity.
+    ``exact_num_points`` switches to largest-remainder quotas plus a hard
+    cap so the emitted count equals ``num_points`` exactly.
     """
     sizes = gaussians.magnitudes(contributions=contributions)
-    ppg = distribute_points(sizes, num_points)
+    ppg = distribute_points(sizes, num_points, exact=exact_num_points)
     if n_cap is None:
         # Rounding can overshoot the budget by at most ~P/2 in adversarial
         # cases; a 5% + 4096 margin makes truncation practically impossible.
@@ -228,6 +267,7 @@ def generate_pointcloud(
         n_cap=n_cap,
         mahalanobis_std=mahalanobis_std,
         num_attempts=attempts,
+        max_points=num_points if exact_num_points else None,
     )
 
 

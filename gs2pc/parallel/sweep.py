@@ -313,7 +313,28 @@ def render_sweep_chunked(
         acc = step(
             scene_arrays, slice_cameras(cameras, i, k), shs=shs, acc0=acc
         )
+        report_sweep_progress(min(i + k, n), n, acc)
     return acc
+
+
+def report_sweep_progress(done: int, total: int, acc: SweepAccumulators):
+    """Per-dispatch progress line (parity: the reference's per-camera tqdm
+    loop, gauss_to_pc.py:437 — a production sweep must never go silent for
+    the whole run).  Reading the pair counter syncs on the dispatch just
+    queued; dispatches are serial through the carried accumulators anyway,
+    so this costs one scalar transfer, not pipelining."""
+    from gs2pc.utils import log
+
+    if total <= 1:
+        return
+    if acc.n_dropped is not None:
+        pairs = float(acc.n_dropped[0])
+        log.info(
+            f"  rendered {min(done, total)}/{total} cameras "
+            f"({pairs:,.0f} pairs blended)"
+        )
+    else:
+        log.info(f"  rendered {min(done, total)}/{total} cameras")
 
 
 def render_sweep_sharded(

@@ -113,6 +113,8 @@ def run_render_sweep(
 
     def chunked_sharded(render_fn, group: int):
         """Run `render_fn(cams)` over camera groups and merge the results."""
+        from gs2pc.parallel.sweep import report_sweep_progress
+
         n = cameras.num_cameras
         if group >= n:
             return render_fn(cameras)
@@ -121,6 +123,7 @@ def run_render_sweep(
         for i in range(0, padded.num_cameras, group):
             part = render_fn(slice_cameras(padded, i, group))
             acc = part if acc is None else merge_accumulators(acc, part)
+            report_sweep_progress(min(i + group, n), n, acc)
         return acc
 
     if num_devices > 1 and settings.shard_axis in ("gauss", "both"):
@@ -207,6 +210,11 @@ def run_render_sweep(
 # capacity knobs are reported as materially degrading quality.
 TRUNCATION_WARN_FRACTION = 0.005
 
+# Last sweep's truncation counters [pairs, win_drop, cap_drop, cap_live]
+# (set by report_truncation; the bench reads them after an end-to-end
+# conversion without re-plumbing accumulators through the return value).
+LAST_SWEEP_DIAG: Optional[list] = None
+
 
 def report_truncation(acc: SweepAccumulators) -> tuple[bool, bool]:
     """Log sweep truncation counters; return (window_material, cap_material).
@@ -220,6 +228,8 @@ def report_truncation(acc: SweepAccumulators) -> tuple[bool, bool]:
     if acc.n_dropped is None:
         return False, False
     nd = [float(x) for x in np.asarray(acc.n_dropped)]
+    global LAST_SWEEP_DIAG
+    LAST_SWEEP_DIAG = nd
     pairs, win_drop, cap_drop = nd[0], nd[1], nd[2]
     # 4th counter (when present): cap drops on tiles whose pixels still
     # had visible transmittance — run-cap tails on fully occluded tiles
@@ -305,12 +315,16 @@ def generate_point_cloud_data(
         sizes = g.magnitudes(contributions=contrib)
         if g.keep_mask is not None:
             sizes = jnp.where(g.keep_mask, sizes, 0.0)
-        ppg = distribute_points(sizes, num_points, mask=g.keep_mask)
+        ppg = distribute_points(
+            sizes, num_points, mask=g.keep_mask,
+            exact=settings.exact_num_points,
+        )
         out = sample_points(
             k, g, ppg,
             n_cap=n_cap,
             mahalanobis_std=settings.mahalanobis_distance_std,
             num_attempts=attempts,
+            max_points=num_points if settings.exact_num_points else None,
         )
         if out_shardings is not None:
             out = jax.tree.map(
@@ -334,18 +348,44 @@ def generate_point_cloud_data(
     return PointCloudData(points=points, colours=colours, normals=normals)
 
 
+def resolve_num_devices(
+    num_devices: int, settings: GaussPointCloudSettings
+) -> tuple[int, GaussPointCloudSettings]:
+    """Resolve the --num_devices contract: 0 means ALL local devices.
+
+    When auto-resolution lands on a single device, a non-"cams"
+    --shard_axis is downgraded to the single-device sweep with a warning
+    (there is nothing to shard over); an EXPLICIT --num_devices 1 with a
+    sharded axis still raises in run_render_sweep, because silently
+    ignoring an explicit request would hide a config mistake.
+    """
+    if num_devices == 0:
+        import jax
+
+        num_devices = len(jax.devices())
+        if num_devices == 1 and settings.shard_axis != "cams":
+            log.warn(
+                f"--shard_axis {settings.shard_axis} ignored: only one "
+                "local device"
+            )
+            settings = settings._replace(shard_axis="cams")
+    return num_devices, settings
+
+
 def convert_3dgs_to_pc(
     input_path: str,
     transform_path: Optional[str],
     mask_path: Optional[str],
     settings: GaussPointCloudSettings,
-    num_devices: int = 1,
+    num_devices: int = 0,
 ):
     """Full conversion (parity: convert_3dgs_to_pc, gauss_to_pc.py:373-601).
 
     Returns (total_point_cloud, surface_point_cloud | None).
+    ``num_devices=0`` shards over every local device.
     """
     log.set_quiet(settings.quiet)
+    num_devices, settings = resolve_num_devices(num_devices, settings)
 
     transforms = intrinsics = None
     if transform_path is not None:
@@ -365,7 +405,10 @@ def convert_3dgs_to_pc(
                 )
 
     log.info("Loading Gaussians from File\n")
-    gaussians = load_gaussians(input_path, max_sh_degree=settings.max_sh_degree)
+    with log.phase("load_gaussians"):
+        gaussians = load_gaussians(
+            input_path, max_sh_degree=settings.max_sh_degree
+        )
 
     if settings.calculate_normals:
         gaussians = gaussians.calculate_normals()

@@ -30,11 +30,23 @@ def warn(msg: str) -> None:
     print(f"WARNING: {msg}", flush=True)
 
 
+# Accumulated wall-clock per phase name since the last reset_phases():
+# the bench reads these to attribute end-to-end time without re-plumbing
+# timers through the pipeline.
+PHASE_SECONDS: dict[str, float] = {}
+
+
+def reset_phases() -> None:
+    PHASE_SECONDS.clear()
+
+
 @contextlib.contextmanager
 def phase(name: str) -> Iterator[None]:
     """Wall-clock a pipeline phase with a jax.profiler annotation."""
     start = time.perf_counter()
     with jax.profiler.TraceAnnotation(name):
         yield
+    dt = time.perf_counter() - start
+    PHASE_SECONDS[name] = PHASE_SECONDS.get(name, 0.0) + dt
     if not _QUIET:
-        print(f"[gs2pc] {name}: {time.perf_counter() - start:.2f}s", flush=True)
+        print(f"[gs2pc] {name}: {dt:.2f}s", flush=True)

@@ -437,9 +437,11 @@ class TestPackedArgmax:
         )
 
     def test_packed_surface_min_is_exact(self):
-        """The fused uint32 row scatter (complemented-bits lane for the
-        surface min) must reproduce the exact f32 scatter-min, including
-        FLOAT_MAX sentinels for never-touched Gaussians."""
+        """The packed fast path's surface min — an independent f32
+        scatter-min running alongside the uint32 argmax scatter (a fused
+        multi-lane row scatter was rejected as ~1.8x slower, see
+        _pair_reduce) — must reproduce the exact path's scatter-min,
+        including FLOAT_MAX sentinels for never-touched Gaussians."""
         from gs2pc.ops.blend import FLOAT_MAX
         from gs2pc.ops.rasterize import _pair_reduce
 
