@@ -379,7 +379,7 @@ def psnr_vs_oracle(n_gauss, width, height, use_pallas):
     )
     cfg = TileConfig(
         width_pad=wp, height_pad=hp, run_cap=4096, run_chunk=128,
-        tile_batch=128,
+        tile_batch=128, compact=True,  # the production CLI default
     )
     cfg = cfg._replace(
         pair_budget=auto_pair_budget(arrays, cameras, cfg)
@@ -541,7 +541,7 @@ def main():
         )
         cfg = TileConfig(
             width_pad=wp, height_pad=hp, run_cap=4096, run_chunk=128,
-            tile_batch=128,
+            tile_batch=128, compact=True,
         )
         cfg = cfg._replace(
             pair_budget=auto_pair_budget(

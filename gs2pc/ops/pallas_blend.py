@@ -51,9 +51,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 from gs2pc.ops.blend import ALPHA_MAX, ALPHA_MIN, T_EPS
 
-TABLE_LANES = 16  # row: [xy(2) conic(3) opa(1) depth(1) pad | rgb(3) pad]
+TABLE_LANES = 16  # full row: [xy(2) conic(3) opa(1) depth(1) pad | rgb(3) pad]
 # (geometry half in lanes 0-7, colour half in 8-15: built from two (P, 8)
-# row gathers — see gs2pc.ops.rasterize.pack_blend_table)
+# row gathers — see gs2pc.ops.rasterize.pack_blend_table.  Compact mode
+# uses 8-lane rows with rgb packed into one exact-f32 24-bit lane.)
 TPX = 256  # pixels per 16x16 tile
 
 
@@ -88,6 +89,7 @@ def build_aligned_pairs(
 ) -> AlignedPairs:
     L = keys.shape[0]
     P = table.shape[0]
+    TL = table.shape[1]  # 16 (full) or 8 (compact rgb24 rows)
     NTP = num_tiles_pad
     rs = run_chunk
 
@@ -133,12 +135,13 @@ def build_aligned_pairs(
     tile_of_chunk = jax.lax.cummax(tile_of_chunk)
 
     # Sentinel row P: zeros (opacity 0 — contributes nothing if ever read).
-    sentinel = jnp.zeros((1, TABLE_LANES), table.dtype)
+    sentinel = jnp.zeros((1, TL), table.dtype)
     table_ext = jnp.concatenate([table, sentinel])
-    # Two (P+1, 8) halves: 8-lane row gathers are ~2.8x cheaper than one
-    # 16-lane gather on hardware (one sublane tile per row).
-    table_geo = table_ext[:, :8]
-    table_col = table_ext[:, 8:]
+    if TL > 8:
+        # Two (P+1, 8) halves: 8-lane row gathers are ~2.8x cheaper than
+        # one 16-lane gather on hardware (one sublane tile per row).
+        table_geo = table_ext[:, :8]
+        table_col = table_ext[:, 8:]
     # Row-major view of the sorted gids for the chunk fetch: chunk c needs
     # 128 CONSECUTIVE elements starting at src0[c], i.e. (a rotation of) two
     # adjacent rows of this view.
@@ -156,13 +159,16 @@ def build_aligned_pairs(
     # CONSECUTIVE, so sids are fetched with rs-wide slice gathers.
     n_win_cap = L_al // W
     CW = W // rs  # chunks per window
-    # TWO 8-row carries (geometry / colour halves), each updated ONCE per
-    # window: a single chained second update on one 16-row carry defeats
-    # XLA's in-place while_loop buffer aliasing under lax.scan and every
-    # window then copies the full gigabyte-scale table (a ~14x sweep
-    # regression observed on hardware).  Concatenated once at the end.
-    tabTg0 = jnp.zeros((8, L_al), table.dtype)
-    tabTc0 = jnp.zeros((TABLE_LANES - 8, L_al), table.dtype)
+    # TWO 8-row carries (geometry / colour halves) in full-table mode,
+    # each updated ONCE per window: a single chained second update on one
+    # 16-row carry defeats XLA's in-place while_loop buffer aliasing
+    # under lax.scan and every window then copies the full
+    # gigabyte-scale table (a ~14x sweep regression observed on
+    # hardware).  Concatenated once at the end.  Compact (8-lane) tables
+    # need only ONE carry and ONE row gather per window — half the
+    # build's gather and write traffic.
+    tabTg0 = jnp.zeros((min(TL, 8), L_al), table.dtype)
+    tabTc0 = jnp.zeros((max(TL - 8, 1), L_al), table.dtype)
     gid0 = jnp.full((L_al,), P, jnp.int32)
     lane = jnp.arange(rs, dtype=jnp.int32)
 
@@ -195,17 +201,27 @@ def build_aligned_pairs(
         valid = (base_c[:, None] + lane[None, :]) < count_c[:, None]
         gid_w = jnp.where(valid, runs, P).reshape(W)
         safe = jnp.minimum(gid_w, P)
-        rows_geo = table_geo[safe]  # (W, 8) row gathers (2x cheap halves)
-        rows_col = table_col[safe]
-        tabTg = jax.lax.dynamic_update_slice(tabTg, rows_geo.T, (0, w * W))
-        tabTc = jax.lax.dynamic_update_slice(tabTc, rows_col.T, (0, w * W))
+        if TL > 8:
+            rows_geo = table_geo[safe]  # (W, 8) row gathers (2x cheap halves)
+            rows_col = table_col[safe]
+            tabTg = jax.lax.dynamic_update_slice(
+                tabTg, rows_geo.T, (0, w * W)
+            )
+            tabTc = jax.lax.dynamic_update_slice(
+                tabTc, rows_col.T, (0, w * W)
+            )
+        else:
+            rows = table_ext[safe]  # (W, 8): ONE row gather per pair
+            tabTg = jax.lax.dynamic_update_slice(tabTg, rows.T, (0, w * W))
         gid_al = jax.lax.dynamic_update_slice(gid_al, gid_w, (w * W,))
         return w + 1, tabTg, tabTc, gid_al
 
     _, tabTg, tabTc, gid_al = jax.lax.while_loop(
         win_cond, win_body, (jnp.int32(0), tabTg0, tabTc0, gid0)
     )
-    pair_tab = jnp.concatenate([tabTg, tabTc], axis=0)
+    pair_tab = (
+        jnp.concatenate([tabTg, tabTc], axis=0) if TL > 8 else tabTg
+    )
 
     return AlignedPairs(
         pair_tab=pair_tab,
@@ -249,18 +265,23 @@ def _blend_kernel(
     dims_ref,  # (4,) int32: width, height, num_tiles, bg_is_white
     # inputs
     pair_tab_ref,  # (16, L_al) f32 in HBM
+    gid_in_ref,  # (1, L_al) i32 in HBM — aligned per-pair Gaussian ids
     mask_ref,  # (TPP, TPX, 1) float32 tile mask block in VMEM
     t0_ref,  # (TPP, TPX, 1) f32 initial per-pixel transmittance block
     edov_ref,  # (TPP, TPX, 1) f32 expected-depth override block
     ma_in_ref,  # (2, L_al) f32 in HBM — zero-init, ALIASED to ma_ref
+    cgid_in_ref,  # (1, L_al) i32 in HBM — sentinel init, ALIASED to cgid_ref
     # outputs
     rgb_ref,  # (TPP, TPX, 3) f32
     ed_ref,  # (TPP, TPX, 1) f32
     einv_ref,  # (TPP, TPX, 1) f32
     tout_ref,  # (TPP, TPX, 1) f32 final per-pixel transmittance
-    ma_ref,  # (2, L_al) f32 in HBM: row 0 = max contribution, row 1 = bitcast argmax pixel
+    ma_ref,  # (2, L_al) f32 in HBM: COMPACT stream — row 0 = max
+    # contribution, row 1 = bitcast argmax pixel (see cursor note below)
+    cgid_ref,  # (1, L_al) i32 in HBM: COMPACT per-pair Gaussian ids
     sd_ref,  # (1, L_al) f32 in HBM: per-pair min surface distance (if with_surface)
     live_ref,  # (TPP, TPX, 1) f32: final T where the pixel is valid AND not done, else 0
+    total_ref,  # (1,) i32 in SMEM: compact occupied length (final cursor)
     # scratch
     buf_ref,  # (2, 16, Rs) f32 — double-buffered input chunk slabs
     ma_scratch,  # (2, 2, Rs) f32 — double-buffered packed pair outputs
@@ -272,8 +293,10 @@ def _blend_kernel(
     accb_ref,
     accd_ref,  # (TPX, Rs) f32 expected depth
     acci_ref,  # (TPX, Rs) f32 expected inverse depth
+    cursor_ref,  # (1,) i32 SMEM — compact-stream cursor, persists across programs
     in_sems,  # DMA semaphores (2,)
     out_sems,  # DMA semaphores (2,)
+    gid_sems,  # DMA semaphores (2,) for the gid HBM->HBM copies
     *,
     grid_w: int,
     width_pad: int,
@@ -284,6 +307,7 @@ def _blend_kernel(
     early_stop: bool,
     use_init_trans: bool,
     use_ed_override: bool,
+    compact: bool,
 ):
     width = dims_ref[0]
     height = dims_ref[1]
@@ -293,6 +317,19 @@ def _blend_kernel(
     # Grid programs cost ~25-40 us of fixed overhead each (block DMAs,
     # setup); processing `tpp` tiles per program amortises it.
     prog = pl.program_id(0)
+
+    # COMPACT pair-output stream: per-pair (m, apix, gid) slabs are
+    # appended at a global cursor, one Rs-chunk per chunk the blend loop
+    # ACTUALLY streamed — chunks skipped by the per-tile early exit
+    # produce nothing (their m would be all-zero, which the post
+    # reductions treat as inert), so the post-pass scatters scan only
+    # the streamed prefix instead of the full aligned capacity.  On an
+    # opaque capture most tiles early-exit after a few chunks, so this
+    # shrinks the reduction domain several-fold.  The TPU grid is
+    # sequential on a core, so a single SMEM cursor is race-free.
+    @pl.when(prog == 0)
+    def _():
+        cursor_ref[0] = 0
 
     def tile_body(k, _carry):
         t = prog * tpp + k
@@ -353,12 +390,27 @@ def _blend_kernel(
                 in_sems.at[slot],
             )
 
-        def out_dma(slot, r):
-            off = pl.multiple_of(start + r * rs, rs)
+        def out_dma(slot, coff):
+            # Destination = compact-cursor offset (always an rs multiple).
+            # Waits reconstruct the descriptor with offset 0: the wait
+            # only consumes the semaphore by the copy's byte count, which
+            # is offset-independent.
+            off = pl.multiple_of(coff, rs)
             return pltpu.make_async_copy(
                 ma_scratch.at[slot],
                 ma_ref.at[:, pl.ds(off, rs)],
                 out_sems.at[slot],
+            )
+
+        def gid_dma(slot, r, coff):
+            # Straight HBM->HBM copy of the chunk's gid slab into the
+            # compact stream (the values pass through unchanged).
+            src = pl.multiple_of(start + r * rs, rs)
+            dst = pl.multiple_of(coff, rs)
+            return pltpu.make_async_copy(
+                gid_in_ref.at[:, pl.ds(src, rs)],
+                cgid_ref.at[:, pl.ds(dst, rs)],
+                gid_sems.at[slot],
             )
 
         @pl.when((n_chunks > 0) & jnp.logical_not(alldone0))
@@ -386,9 +438,17 @@ def _blend_kernel(
             cc = buf_ref[slot, 4:5, :]
             opa = buf_ref[slot, 5:6, :]
             dep = buf_ref[slot, 6:7, :]
-            col_r = buf_ref[slot, 8:9, :]
-            col_g = buf_ref[slot, 9:10, :]
-            col_b = buf_ref[slot, 10:11, :]
+            if compact:
+                # rgb24 lane: exact 24-bit integer carried in f32.
+                vi = buf_ref[slot, 7:8, :].astype(jnp.int32)
+                inv255 = jnp.float32(1.0 / 255.0)
+                col_r = ((vi >> 16) & 255).astype(jnp.float32) * inv255
+                col_g = ((vi >> 8) & 255).astype(jnp.float32) * inv255
+                col_b = (vi & 255).astype(jnp.float32) * inv255
+            else:
+                col_r = buf_ref[slot, 8:9, :]
+                col_g = buf_ref[slot, 9:10, :]
+                col_b = buf_ref[slot, 10:11, :]
 
             T = t_ref[:]  # (TPX, Rs), lane-replicated
             done_full = done_ref[:] > 0.5
@@ -471,11 +531,15 @@ def _blend_kernel(
 
             @pl.when(r >= 2)
             def _():
-                out_dma(slot, r - 2).wait()
+                out_dma(slot, 0).wait()
+                gid_dma(slot, 0, 0).wait()
 
+            coff = cursor_ref[0]
             ma_scratch[slot, 0:1, :] = m
             ma_scratch[slot, 1:2, :] = pltpu.bitcast(apix, jnp.float32)
-            out_dma(slot, r).start()
+            out_dma(slot, coff).start()
+            gid_dma(slot, r, coff).start()
+            cursor_ref[0] = coff + rs
 
             alldone = jnp.min(done_new) > 0.5
             return r + 1, alldone
@@ -485,11 +549,13 @@ def _blend_kernel(
         # Drain in-flight DMAs before the next tile reuses the slots.
         @pl.when(r_fin >= 2)
         def _():
-            out_dma(jax.lax.rem(r_fin, 2), r_fin - 2).wait()
+            out_dma(jax.lax.rem(r_fin, 2), 0).wait()
+            gid_dma(jax.lax.rem(r_fin, 2), 0, 0).wait()
 
         @pl.when(r_fin >= 1)
         def _():
-            out_dma(jax.lax.rem(r_fin - 1, 2), r_fin - 1).wait()
+            out_dma(jax.lax.rem(r_fin - 1, 2), 0).wait()
+            gid_dma(jax.lax.rem(r_fin - 1, 2), 0, 0).wait()
 
         @pl.when((r_fin >= 1) & (r_fin < n_chunks))
         def _():
@@ -587,6 +653,9 @@ def _blend_kernel(
         return 0
 
     jax.lax.fori_loop(0, tpp, tile_body, 0)
+    # Every program publishes the running cursor; the grid is sequential,
+    # so the last program leaves the final compact length.
+    total_ref[0] = cursor_ref[0]
 
 
 def pallas_blend(
@@ -609,8 +678,14 @@ def pallas_blend(
     early_stop: bool = True,
 ):
     """Returns (tile_rgb (NTP,TPX,3), ed (NTP,TPX), einv (NTP,TPX),
-    trans (NTP,TPX), m (L_al,), apix (L_al,), sd (L_al,) or None,
-    live (NTP,TPX) — final T on valid-and-not-done pixels, else 0)."""
+    trans (NTP,TPX), m (L_al,), apix (L_al,), gid (L_al,), total (),
+    sd (L_al,) or None, live (NTP,TPX)).
+
+    (m, apix, gid) form the COMPACT pair-output stream: only chunks the
+    blend loop actually streamed occupy the prefix [0, total); the tail
+    is inert (m = 0, gid = sentinel).  ``sd`` stays in ALIGNED pair
+    order over [0, aligned_total) — the surface pass runs every chunk
+    regardless of the blend's early exit."""
     L_al = pairs.pair_tab.shape[1]
     NTP = num_tiles_pad
     rs = run_chunk
@@ -634,6 +709,7 @@ def pallas_blend(
         ]
     )
 
+    tl = pairs.pair_tab.shape[0]  # 16 (full) or 8 (compact rgb24)
     kernel = functools.partial(
         _blend_kernel, grid_w=grid_w, width_pad=width_pad, rs=rs,
         max_steps=max(-(-run_cap_hint // rs), 1), tpp=tpp,
@@ -641,6 +717,7 @@ def pallas_blend(
         early_stop=early_stop,
         use_init_trans=init_trans_tiles is not None,
         use_ed_override=ed_override_tiles is not None,
+        compact=tl == 8,
     )
 
     # Unused optional blocks are fed as cheap dummies: the block DMA per
@@ -655,22 +732,26 @@ def pallas_blend(
         grid=(NTP // tpp,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),  # pair_tab stays in HBM
+            pl.BlockSpec(memory_space=pltpu.HBM),  # aligned gid (HBM)
             pl.BlockSpec((tpp, TPX, 1), lambda p, *_: (p, 0, 0)),  # masks
             pl.BlockSpec((tpp, TPX, 1), lambda p, *_: (p, 0, 0)),  # t0
             pl.BlockSpec((tpp, TPX, 1), lambda p, *_: (p, 0, 0)),  # ed ovr
             pl.BlockSpec(memory_space=pltpu.HBM),  # ma zero-init (aliased)
+            pl.BlockSpec(memory_space=pltpu.HBM),  # cgid sentinel (aliased)
         ],
         out_specs=[
             pl.BlockSpec((tpp, TPX, 3), lambda p, *_: (p, 0, 0)),
             pl.BlockSpec((tpp, TPX, 1), lambda p, *_: (p, 0, 0)),
             pl.BlockSpec((tpp, TPX, 1), lambda p, *_: (p, 0, 0)),
             pl.BlockSpec((tpp, TPX, 1), lambda p, *_: (p, 0, 0)),  # trans
-            pl.BlockSpec(memory_space=pltpu.HBM),  # packed m/apix (HBM)
+            pl.BlockSpec(memory_space=pltpu.HBM),  # compact m/apix (HBM)
+            pl.BlockSpec(memory_space=pltpu.HBM),  # compact gid (HBM)
             pl.BlockSpec(memory_space=pltpu.HBM),  # sd (HBM; dummy if unused)
             pl.BlockSpec((tpp, TPX, 1), lambda p, *_: (p, 0, 0)),  # live T
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # compact total
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, TABLE_LANES, rs), jnp.float32),  # input slabs
+            pltpu.VMEM((2, tl, rs), jnp.float32),  # input slabs
             pltpu.VMEM((2, 2, rs), jnp.float32),  # packed pair outputs
             pltpu.VMEM((2, 1, rs), jnp.float32),  # surface-distance slabs
             pltpu.VMEM((TPX, rs), jnp.float32),  # T (lane-replicated)
@@ -680,6 +761,8 @@ def pallas_blend(
             pltpu.VMEM((TPX, rs), jnp.float32),  # acc b
             pltpu.VMEM((TPX, rs), jnp.float32),  # acc depth
             pltpu.VMEM((TPX, rs), jnp.float32),  # acc invdepth
+            pltpu.SMEM((1,), jnp.int32),  # compact-stream cursor
+            pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -691,21 +774,27 @@ def pallas_blend(
         jax.ShapeDtypeStruct((NTP, TPX, 1), jnp.float32),
         jax.ShapeDtypeStruct((NTP, TPX, 1), jnp.float32),
         jax.ShapeDtypeStruct((2, L_al), jnp.float32),
+        jax.ShapeDtypeStruct((1, L_al), jnp.int32),
         jax.ShapeDtypeStruct((1, L_al if with_surface else rs), jnp.float32),
         jax.ShapeDtypeStruct((NTP, TPX, 1), jnp.float32),
+        jax.ShapeDtypeStruct((1,), jnp.int32),
     ]
 
     ma_init = jnp.zeros((2, L_al), jnp.float32)
+    # cgid tail init: the sentinel row (P) of the per-Gaussian tables is
+    # the reduce's dump slot; gid values themselves never exceed P.
+    cgid_init = jnp.full((1, L_al), jnp.int32(2**31 - 1), jnp.int32)
 
-    rgb, ed, einv, trans, ma, sd, live = pl.pallas_call(
+    rgb, ed, einv, trans, ma, cgid, sd, live, total = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=interpret,
-        # Inputs are [starts, counts, dims, pair_tab, mask, t0, edov,
-        # ma_init]; aliasing ma_init -> ma zero-fills slots the early exit
-        # skips.
-        input_output_aliases={7: 4},
+        # Inputs are [starts, counts, dims, pair_tab, gid, mask, t0, edov,
+        # ma_init, cgid_init]; aliasing zero/sentinel-fills the compact
+        # stream's tail beyond the final cursor (never read by the post
+        # reductions, but must stay inert).
+        input_output_aliases={8: 4, 9: 5},
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True,
             vmem_limit_bytes=100 * 1024 * 1024,
@@ -715,15 +804,17 @@ def pallas_blend(
         pairs.counts,
         dims,
         pairs.pair_tab,
+        pairs.gid.reshape(1, L_al),
         mask_tiles[:, :, None].astype(jnp.float32),
         init_trans_tiles[:, :, None].astype(jnp.float32),
         ed_override_tiles[:, :, None].astype(jnp.float32),
         ma_init,
+        cgid_init,
     )
     m = ma[0]
     apix = jax.lax.bitcast_convert_type(ma[1], jnp.int32)
     sd_out = sd[0] if with_surface else None
     return (
-        rgb, ed[:, :, 0], einv[:, :, 0], trans[:, :, 0], m, apix, sd_out,
-        live[:, :, 0],
+        rgb, ed[:, :, 0], einv[:, :, 0], trans[:, :, 0], m, apix,
+        cgid[0], total[0], sd_out, live[:, :, 0],
     )

@@ -74,6 +74,16 @@ class TileConfig(NamedTuple):
     # ~15-25% on detail-splat scenes (Q=8 is faster per pair but its
     # ~50%+ padding can double the power-of-two budget bucket).
     pair_quantum: int = 4
+    # Compact 8-lane blend-table rows: rgb quantizes to 8 bits per channel
+    # (one exact-f32 24-bit lane), halving the per-pair gather/DMA traffic
+    # of the aligned build and the blend kernel.  Output colours are
+    # written as u8 anyway (gauss_dataloader.py:118 layout), so the
+    # <=0.5/255 pre-blend rounding is below the writer's own rounding;
+    # exact-f32 mode remains for oracle parity (tests pin the compact
+    # image within 1.5/255 of exact).  Production config default is ON
+    # (RenderConfig.compact_pairs); raw TileConfig defaults OFF so parity
+    # harnesses stay bit-exact.
+    compact: bool = False
 
     def pair_budget_for(self, p: int) -> int:
         """Static pair-list length for a P-Gaussian scene.
@@ -463,16 +473,36 @@ def sort_pairs(keys, ranks, gid):
     return sorted_keys, sorted_gid
 
 
-def pack_blend_table(prep, colours):
+def pack_blend_table(prep, colours, compact: bool = False):
     """Per-Gaussian blend table in ORIGINAL order (no depth-reorder
     gathers — the concat fuses straight into the preprocess), PACKED one
-    row per Gaussian.  Lane layout groups the geometry half separately
-    from the colour half — [xy0 xy1 conic0..2 opacity depth pad | r g b
-    pad..] — because per-pair ROW GATHERS on TPU are ~2.8x cheaper at
-    8 f32 lanes than 16 (one sublane tile per row), so consumers fetch
-    the two (P, 8) halves with two cheap gathers instead of one
-    expensive (P, 16) gather."""
+    row per Gaussian.
+
+    Full (16-lane) layout groups the geometry half separately from the
+    colour half — [xy0 xy1 conic0..2 opacity depth pad | r g b pad..] —
+    because per-pair ROW GATHERS on TPU are ~2.8x cheaper at 8 f32 lanes
+    than 16 (one sublane tile per row), so consumers fetch the two (P, 8)
+    halves with two cheap gathers instead of one expensive (P, 16)
+    gather.
+
+    Compact (8-lane) layout packs rgb into ONE exact-f32 24-bit integer
+    lane — [xy0 xy1 conic0..2 opacity depth rgb24] — so consumers need a
+    SINGLE 8-lane row gather per pair and the aligned Pallas table
+    shrinks to 32 B/pair (see TileConfig.compact)."""
     P = prep.xy.shape[0]
+    if compact:
+        q = jnp.round(jnp.clip(colours, 0.0, 1.0) * 255.0).astype(jnp.int32)
+        rgb24 = (q[:, 0] << 16) | (q[:, 1] << 8) | q[:, 2]
+        return jnp.concatenate(
+            [
+                prep.xy,  # 0, 1
+                prep.conic,  # 2, 3, 4
+                prep.opacity[:, None],  # 5
+                prep.depth[:, None],  # 6
+                rgb24.astype(jnp.float32)[:, None],  # 7 (exact int < 2^24)
+            ],
+            axis=1,
+        )
     return jnp.concatenate(
         [
             prep.xy,  # 0, 1
@@ -485,6 +515,19 @@ def pack_blend_table(prep, colours):
         ],
         axis=1,
     )
+
+
+def _unpack_rgb24(lane):
+    """Inverse of the compact rgb24 lane: (..., 1) f32 -> (..., 3) in [0,1]."""
+    v = lane.astype(jnp.int32)
+    return jnp.stack(
+        [
+            ((v >> 16) & 255).astype(jnp.float32),
+            ((v >> 8) & 255).astype(jnp.float32),
+            (v & 255).astype(jnp.float32),
+        ],
+        axis=-1,
+    ) * jnp.float32(1.0 / 255.0)
 
 
 # A dropped pair can still matter where some pixel's remaining
@@ -551,7 +594,7 @@ def render_tile_camera(
         adaptive_radius=not calc_surface_distance,
     )
 
-    table = pack_blend_table(prep, colours)
+    table = pack_blend_table(prep, colours, compact=cfg.compact)
 
     if cfg.width_pad * cfg.height_pad >= 2**24:
         # Best-pixel ids ride per-pair buffers as exact f32 values.
@@ -664,21 +707,33 @@ def render_tile_camera(
         gid = pair_gid[safe]
         return gid, safe, in_run
 
-    # Two (P, 8) halves: 8-lane row gathers hit the cheap one-sublane-tile
-    # path (~2.8x faster than a 16-lane gather on hardware).
-    table_geo = table[:, :8]
-    table_col = table[:, 8:]
+    if cfg.compact:
+        # ONE 8-lane row gather per pair; rgb unpacks from lane 7.
+        def chunk_tables(gid):
+            tg = table[gid]  # (TB, Rs, 8)
+            return (
+                tg[..., 0:2],  # xy
+                tg[..., 2:5],  # conic
+                tg[..., 5],  # opacity
+                _unpack_rgb24(tg[..., 7]),  # colour
+                tg[..., 6],  # depth
+            )
+    else:
+        # Two (P, 8) halves: 8-lane row gathers hit the cheap
+        # one-sublane-tile path (~2.8x faster than a 16-lane gather).
+        table_geo = table[:, :8]
+        table_col = table[:, 8:]
 
-    def chunk_tables(gid):
-        tg = table_geo[gid]  # (TB, Rs, 8)
-        tc = table_col[gid]
-        return (
-            tg[..., 0:2],  # xy
-            tg[..., 2:5],  # conic
-            tg[..., 5],  # opacity
-            tc[..., 0:3],  # colour
-            tg[..., 6],  # depth
-        )
+        def chunk_tables(gid):
+            tg = table_geo[gid]  # (TB, Rs, 8)
+            tc = table_col[gid]
+            return (
+                tg[..., 0:2],  # xy
+                tg[..., 2:5],  # conic
+                tg[..., 5],  # opacity
+                tc[..., 0:3],  # colour
+                tg[..., 6],  # depth
+            )
 
     # Per-PAIR value cells, indexed by position in the sorted pair list
     # (cell L is the dump slot for masked lanes).  Every blended pair owns
@@ -854,6 +909,31 @@ def render_tile_camera(
         best_pix=best_pix if want_best_pix else None,
         n_dropped=diag,
     )
+
+
+def _sd_reduce(gid_pairs, sd_pairs, P: int, n_occupied):
+    """Per-Gaussian min surface distance: windowed scatter-min over the
+    occupied ALIGNED pair prefix (min is exactly associative, so scatter
+    collisions are order-free — the deterministic replacement for the
+    CUDA kernel's racy non-atomic update, forward.cu:463-471)."""
+    Lp = gid_pairs.shape[0]
+    W = min(1 << 20, Lp)
+    n_win_cap = -(-Lp // W)
+
+    def cond(state):
+        w = state[0]
+        return (w * W < n_occupied) & (w < n_win_cap)
+
+    def body(state):
+        w, sdtab = state
+        off = w * W
+        g = jax.lax.dynamic_slice_in_dim(gid_pairs, off, W)
+        sd = jax.lax.dynamic_slice_in_dim(sd_pairs, off, W)
+        return w + 1, sdtab.at[g].min(sd)
+
+    sdtab0 = jnp.full(P + 1, FLOAT_MAX, jnp.float32)
+    _, sdtab = jax.lax.while_loop(cond, body, (jnp.int32(0), sdtab0))
+    return jnp.where(jnp.isinf(sdtab[:P]), FLOAT_MAX, sdtab[:P])
 
 
 _APIX_NONE = jnp.float32(1 << 24)  # > any padded pixel id (asserted < 2^24)
@@ -1054,18 +1134,19 @@ def _finish_pallas(
         else _to_tiles(surface_ed_override, cfg, 0.0, jnp.float32)
     )
 
-    tiles_rgb, tiles_ed, tiles_einv, tiles_T, m_al, apix_al, sd_al, tiles_live = (
-        pallas_blend(
-            pairs, mask_tiles, camera.width, camera.height,
-            num_tiles=cfg.num_tiles, num_tiles_pad=NTP,
-            grid_w=cfg.grid_w, width_pad=cfg.width_pad,
-            run_chunk=Rs, white_bkgd=white_bkgd,
-            run_cap_hint=cfg.run_cap, with_surface=calc_surface_distance,
-            interpret=interpret,
-            init_trans_tiles=t0_tiles,
-            ed_override_tiles=edov_tiles,
-            early_stop=early_stop,
-        )
+    (
+        tiles_rgb, tiles_ed, tiles_einv, tiles_T,
+        m_c, apix_c, gid_c, total_c, sd_al, tiles_live,
+    ) = pallas_blend(
+        pairs, mask_tiles, camera.width, camera.height,
+        num_tiles=cfg.num_tiles, num_tiles_pad=NTP,
+        grid_w=cfg.grid_w, width_pad=cfg.width_pad,
+        run_chunk=Rs, white_bkgd=white_bkgd,
+        run_cap_hint=cfg.run_cap, with_surface=calc_surface_distance,
+        interpret=interpret,
+        init_trans_tiles=t0_tiles,
+        ed_override_tiles=edov_tiles,
+        early_stop=early_stop,
     )
 
     image = _untile(tiles_rgb, cfg)  # (Hp, Wp, 3)
@@ -1080,20 +1161,22 @@ def _finish_pallas(
             diag, cap_drop_tiles, live_tile, cfg.num_tiles
         )
 
-    # Per-Gaussian reductions: windowed scatter-max/min of per-pair
-    # (m, apix[, sd]) by Gaussian id over the occupied aligned prefix
-    # [0, pairs.total) (sentinel gid == P dumps) — see _pair_reduce.
+    # Per-Gaussian reductions: windowed scatter-max/min by Gaussian id.
+    # (m, apix) come from the kernel's COMPACT stream — only chunks the
+    # blend actually streamed occupy [0, total_c), so the scatters scan a
+    # several-fold smaller domain on early-exit-heavy scenes.  Results
+    # are identical to reducing the full aligned stream: skipped chunks'
+    # rows are all-zero, and zero rows are inert in both scatter passes.
+    # The surface min still reduces the full aligned prefix (its kernel
+    # pass runs every chunk regardless of the blend's early exit).
     packed_ok = cfg.width_pad * cfg.height_pad < (1 << 20)
+    contrib, best_colour, best_pix = _pair_reduce(
+        gid_c, m_c, apix_c, image, P, total_c,
+        allow_packed=packed_ok,
+    )
     if calc_surface_distance:
-        contrib, best_colour, best_pix, surf = _pair_reduce(
-            pairs.gid, m_al, apix_al, image, P, pairs.total,
-            sd_pairs=sd_al, allow_packed=packed_ok,
-        )
+        surf = _sd_reduce(pairs.gid, sd_al, P, pairs.total)
     else:
-        contrib, best_colour, best_pix = _pair_reduce(
-            pairs.gid, m_al, apix_al, image, P, pairs.total,
-            allow_packed=packed_ok,
-        )
         surf = jnp.full(P, FLOAT_MAX, jnp.float32)
 
     return RenderOutput(

@@ -447,6 +447,10 @@ def convert_3dgs_to_pc(
                     run_cap=settings.render.max_pairs_per_tile,
                     run_chunk=settings.render.run_chunk,
                     tile_batch=settings.render.tile_batch,
+                    compact=(
+                        settings.render.compact_pairs
+                        and settings.renderer_type == "tile"
+                    ),
                 )
                 if (
                     cfg.pair_budget == 0

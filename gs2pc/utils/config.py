@@ -42,6 +42,10 @@ class RenderConfig(NamedTuple):
     tile_batch: int = 256  # tiles processed per outer step
     use_pallas: str = "auto"  # "auto" | "on" | "off" — Pallas blend kernel
     dispatch_cams: int = 0  # cameras per jit dispatch (0 = auto-size)
+    # Compact 8-lane blend-table rows (rgb quantized to the output's own
+    # 8-bit precision); halves per-pair gather/DMA traffic.  Off = exact
+    # f32 colours through the blend (oracle-parity mode).
+    compact_pairs: bool = True
 
 
 class GaussPointCloudSettings(NamedTuple):
@@ -190,6 +194,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--pallas", type=str, default="auto", choices=["auto", "on", "off"], help="Use the hand-written Pallas TPU blend kernel ('auto' enables it on TPU backends)")
     p.add_argument("--shard_axis", type=str, default="cams", choices=["cams", "gauss", "both"], help="Multi-device sharding axis for the render sweep: 'cams' = camera data parallel, 'gauss' = depth-slab Gaussian parallel, 'both' = near-square 2-D (cams x gauss) mesh. Note: with 'gauss'/'both', a tile that saturates --max_pairs_per_tile blends up to devices x cap pairs, so results on cap-saturated scenes can vary slightly with --num_devices")
     p.add_argument("--dispatch_cameras", type=int, default=0, help="Cameras rendered per device dispatch during the colour sweep (0 = auto-size from the pair budget). Splitting the sweep into bounded dispatches is byte-identical to one monolithic dispatch and keeps each device program short")
+    p.add_argument("--no_compact_pairs", action="store_true", help="Carry full-precision f32 colours through the tile renderer's per-pair tables instead of the default 8-bit-quantized compact rows (the output PLY stores 8-bit colours either way; compact halves the render sweep's per-pair memory traffic)")
     p.add_argument("--profile_dir", type=str, default=None, help="Write a jax.profiler trace of the conversion to this directory (view with TensorBoard/XProf)")
     return p
 
@@ -305,5 +310,6 @@ def settings_from_args(args: argparse.Namespace) -> GaussPointCloudSettings:
             max_pairs_per_tile=args.max_pairs_per_tile,
             use_pallas=args.pallas,
             dispatch_cams=args.dispatch_cameras,
+            compact_pairs=not args.no_compact_pairs,
         ),
     )

@@ -44,7 +44,12 @@ def main():
     ap.add_argument("--width", type=int, default=1280)
     ap.add_argument("--height", type=int, default=720)
     ap.add_argument("--surface", action="store_true")
+    ap.add_argument("--compact", action="store_true",
+                    help="compact 8-lane pair rows (production default)")
     ap.add_argument("--pair_budget_log2", type=int, default=0)
+    ap.add_argument("--auto_budget", action="store_true",
+                    help="size the pair budget from the coverage probe "
+                         "exactly as the production pipeline does")
     args = ap.parse_args()
 
     scene = bench.make_scene(args.gaussians)
@@ -52,12 +57,18 @@ def main():
     cam = cameras.at(0)
     cfg = TileConfig(width_pad=wp, height_pad=hp, slots=16,
                      run_cap=4096, run_chunk=128, tile_batch=128,
+                     compact=args.compact,
                      pair_budget=(1 << args.pair_budget_log2
                                   if args.pair_budget_log2 else 0))
     arrays = (
         scene.xyz, scene.covariance_factors(), scene.opacities,
         scene.colours, jnp.ones(scene.num_gaussians, bool),
     )
+    if args.auto_budget:
+        cfg = cfg._replace(pair_budget=rasterize.auto_pair_budget(
+            arrays, cameras, cfg, calc_surface_distance=args.surface,
+        ))
+        print(f"auto pair budget: {cfg.pair_budget:,}")
 
     @jax.jit
     def stage_prep(means, covf, op, col, alive):
@@ -79,7 +90,9 @@ def main():
     print(f"pair expand+sort:      {t*1000:8.1f} ms   (L={keys.shape[0]}, real={n_real})")
 
     def make_table(prep):
-        return rasterize.pack_blend_table(prep, scene.colours)
+        return rasterize.pack_blend_table(
+            prep, scene.colours, compact=args.compact
+        )
 
     t, table = timed(jax.jit(make_table), prep)
     print(f"packed table build:    {t*1000:8.1f} ms")
@@ -110,18 +123,20 @@ def main():
 
     t, blend_out = timed(stage_blend, pairs)
     print(f"blend kernel (surface={args.surface!s:5}): {t*1000:6.1f} ms")
+    print(f"  compact pair stream: {int(blend_out[7])} of "
+          f"{int(pairs.total)} aligned (early-exit skipped the rest)")
 
     P = args.gaussians
 
     @jax.jit
     def stage_post(pairs, blend_out):
-        rgb, _, _, _, m_al, apix_al, sd_al, _ = blend_out
-        from gs2pc.ops.rasterize import _pair_reduce, _untile
+        rgb, _, _, _, m_c, apix_c, gid_c, total_c, sd_al, _ = blend_out
+        from gs2pc.ops.rasterize import _pair_reduce, _sd_reduce, _untile
         image = _untile(rgb, cfg)
+        out = _pair_reduce(gid_c, m_c, apix_c, image, P, total_c)
         if args.surface:
-            return _pair_reduce(pairs.gid, m_al, apix_al, image, P,
-                                pairs.total, sd_pairs=sd_al)
-        return _pair_reduce(pairs.gid, m_al, apix_al, image, P, pairs.total)
+            return out + (_sd_reduce(pairs.gid, sd_al, P, pairs.total),)
+        return out
 
     t, _ = timed(stage_post, pairs, blend_out)
     print(f"post reductions:       {t*1000:8.1f} ms")
