@@ -304,6 +304,7 @@ def _blend_kernel(
     max_steps: int,
     tpp: int,
     with_surface: bool,
+    surface_compact: bool,
     early_stop: bool,
     use_init_trans: bool,
     use_ed_override: bool,
@@ -381,6 +382,11 @@ def _blend_kernel(
         acci_ref[:] = zeros_full
 
         alldone0 = jnp.min(done0) > 0.5
+        # Compact-stream base for THIS tile: the blend loop appends its
+        # streamed chunks at consecutive cursor offsets starting here, so
+        # the surface pass (surface_compact mode) can mirror chunk r of
+        # the tile to compact slot coff0 + r*rs.
+        coff0 = cursor_ref[0]
 
         def in_dma(slot, r):
             off = pl.multiple_of(start + r * rs, rs)  # aligned-run guarantee
@@ -592,35 +598,44 @@ def _blend_kernel(
             # Second cheap chunk loop: min over tile pixels of
             # |pair depth - expected depth| (renderCUDA's optional surface
             # pass, forward.cu:460-477) re-using the in-VMEM expected depth
-            # — a DMA-bound sweep, ~6 ops per (TPX, Rs) chunk.  Runs for
-            # every chunk regardless of the blend's early exit so every
-            # occupied aligned slot is written (the post pass reads the
-            # whole prefix).
+            # — a DMA-bound sweep, ~6 ops per (TPX, Rs) chunk.
+            # surface_compact mode reproduces the reference's block-level
+            # break (forward.cu:369-371 exits the WHOLE batch loop,
+            # surface pass included, once every pixel is done): only the
+            # r_fin chunks the blend actually streamed are swept, and
+            # their sd slabs land in the COMPACT stream at this tile's
+            # cursor base, so the post reduction reads (cgid, sd) over
+            # [0, total) instead of the full aligned capacity.  Full mode
+            # sweeps every chunk and writes aligned-order slots.
             big = jnp.float32(3.4028235e38)
+            n_surf = r_fin if surface_compact else n_chunks
             # The distance target: this tile's blended expected depth, or
             # the externally supplied (globally combined) map when the
             # gauss-shard renderer re-runs the surface pass (pass 3).
             ed_target = edov_ref[k] if use_ed_override else ed
 
             def sd_dma(slot, r):
-                off = pl.multiple_of(start + r * rs, rs)
+                if surface_compact:
+                    off = pl.multiple_of(coff0 + r * rs, rs)
+                else:
+                    off = pl.multiple_of(start + r * rs, rs)
                 return pltpu.make_async_copy(
                     sd_scratch.at[slot],
                     sd_ref.at[:, pl.ds(off, rs)],
                     out_sems.at[slot],
                 )
 
-            @pl.when(n_chunks > 0)
+            @pl.when(n_surf > 0)
             def _():
                 in_dma(0, 0).start()
 
             def s_cond(r):
-                return r < n_chunks
+                return r < n_surf
 
             def s_body(r):
                 slot = jax.lax.rem(r, 2)
 
-                @pl.when(r + 1 < n_chunks)
+                @pl.when(r + 1 < n_surf)
                 def _():
                     in_dma(1 - slot, r + 1).start()
 
@@ -672,6 +687,7 @@ def pallas_blend(
     white_bkgd: bool,
     run_cap_hint: int = 1 << 16,
     with_surface: bool = False,
+    surface_compact: bool = False,
     interpret: bool = False,
     init_trans_tiles: jnp.ndarray | None = None,  # (NTP, TPX) f32
     ed_override_tiles: jnp.ndarray | None = None,  # (NTP, TPX) f32
@@ -683,9 +699,12 @@ def pallas_blend(
 
     (m, apix, gid) form the COMPACT pair-output stream: only chunks the
     blend loop actually streamed occupy the prefix [0, total); the tail
-    is inert (m = 0, gid = sentinel).  ``sd`` stays in ALIGNED pair
-    order over [0, aligned_total) — the surface pass runs every chunk
-    regardless of the blend's early exit."""
+    is inert (m = 0, gid = sentinel).  ``sd`` ordering depends on
+    ``surface_compact``: True -> sd rides the SAME compact stream (slot i
+    pairs with gid[i]; chunks past the reference's block-level early
+    exit, forward.cu:369-371, are excluded from the surface min); False
+    -> ALIGNED pair order over [0, aligned_total) with the surface pass
+    sweeping every chunk regardless of the blend's early exit."""
     L_al = pairs.pair_tab.shape[1]
     NTP = num_tiles_pad
     rs = run_chunk
@@ -714,6 +733,7 @@ def pallas_blend(
         _blend_kernel, grid_w=grid_w, width_pad=width_pad, rs=rs,
         max_steps=max(-(-run_cap_hint // rs), 1), tpp=tpp,
         with_surface=with_surface,
+        surface_compact=surface_compact,
         early_stop=early_stop,
         use_init_trans=init_trans_tiles is not None,
         use_ed_override=ed_override_tiles is not None,

@@ -84,6 +84,19 @@ class TileConfig(NamedTuple):
     # (RenderConfig.compact_pairs); raw TileConfig defaults OFF so parity
     # harnesses stay bit-exact.
     compact: bool = False
+    # Surface-distance early-exit compaction: the reference kernel breaks
+    # out of the ENTIRE per-tile batch loop — surface pass included — the
+    # moment every pixel in the block is done (forward.cu:369-371), so
+    # pairs in batches past that point never enter the surface min.  When
+    # True, both blend paths reproduce that break at run_chunk
+    # granularity: the surface min only sees chunks the blend actually
+    # streamed (Pallas additionally rides the compact pair-output stream,
+    # shrinking the kernel's surface DMA sweep and the post scatter
+    # domain several-fold on opaque scenes).  When False (raw default),
+    # the surface min covers every capped run pair — the semantics the
+    # dense renderer and the legacy oracle mode pin.  Production config
+    # default is ON (RenderConfig.surface_compact).
+    surface_compact: bool = False
 
     def pair_budget_for(self, p: int) -> int:
         """Static pair-list length for a P-Gaussian scene.
@@ -757,11 +770,18 @@ def render_tile_camera(
         carry0 = init_carry((TB, tpx), done0=~valid_px, t0=t0)
 
         def cond(state):
-            r, carry, _ = state
+            r, carry, _, _ = state
             return (r < n_steps) & jnp.logical_not(jnp.all(carry.done))
 
         def body(state):
-            r, carry, matab = state
+            r, carry, matab, n_stream = state
+            # Chunks streamed per TILE: chunk r streams iff the tile still
+            # has a not-done pixel at its start and the run reaches it —
+            # the reference's block-level break test (forward.cu:369-371)
+            # at run_chunk granularity.  Feeds the surface_compact cap.
+            n_stream = n_stream + (
+                ~jnp.all(carry.done, axis=1) & (r * Rs < count)
+            ).astype(jnp.int32)
             gid, idx, in_run = gather_run(start, count, r)
             xy, conic, op, col, dep = chunk_tables(gid)
             new_carry, w = blend_chunk(
@@ -777,10 +797,11 @@ def render_tile_camera(
                 axis=1,
             )
             matab = matab.at[slot].set(vals)
-            return r + 1, new_carry, matab
+            return r + 1, new_carry, matab, n_stream
 
-        _, carry, matab = jax.lax.while_loop(
-            cond, body, (jnp.int32(0), carry0, matab)
+        _, carry, matab, n_stream = jax.lax.while_loop(
+            cond, body,
+            (jnp.int32(0), carry0, matab, jnp.zeros(TB, jnp.int32)),
         )
 
         bg = jnp.float32(1.0 if white_bkgd else 0.0)
@@ -803,9 +824,13 @@ def render_tile_camera(
             ),
             axis=1,
         )
-        return matab, (tile_col, tile_ed, tile_einv, tile_T, tile_live)
+        return matab, (
+            tile_col, tile_ed, tile_einv, tile_T, tile_live, n_stream
+        )
 
-    matab, (tiles_col, tiles_ed, tiles_einv, tiles_T, tiles_live) = (
+    matab, (
+        tiles_col, tiles_ed, tiles_einv, tiles_T, tiles_live, n_stream_b
+    ) = (
         jax.lax.scan(batch_step, matab0, jnp.arange(NB, dtype=jnp.int32))
     )
     # Occupied prefix: real-tile pairs sort before the sentinels.
@@ -820,6 +845,7 @@ def render_tile_camera(
     tiles_col = unshuffle(tiles_col)
     tiles_ed = unshuffle(tiles_ed)
     tiles_einv = unshuffle(tiles_einv)
+    n_stream_all = unshuffle(n_stream_b)  # (NTP,) streamed chunks per tile
     live_tile = unshuffle(tiles_live)  # (NTP,)
     diag = _append_live_capdrop(diag, cap_drop_tiles, live_tile, cfg.num_tiles)
     tiles_T = unshuffle(tiles_T) if want_trans else None
@@ -865,6 +891,11 @@ def render_tile_camera(
             tids = jax.lax.dynamic_slice_in_dim(tid_by_load, b * TB, TB)
             start = starts_all[tids]
             count = counts_all[tids]
+            if cfg.surface_compact:
+                # Reference break semantics (forward.cu:369-371): pairs in
+                # chunks past the tile's blend early exit never enter the
+                # surface min.
+                count = jnp.minimum(count, n_stream_all[tids] * Rs)
             n_steps = jnp.minimum(
                 -(-jnp.max(count) // Rs), max_steps
             ).astype(jnp.int32)
@@ -1143,6 +1174,7 @@ def _finish_pallas(
         grid_w=cfg.grid_w, width_pad=cfg.width_pad,
         run_chunk=Rs, white_bkgd=white_bkgd,
         run_cap_hint=cfg.run_cap, with_surface=calc_surface_distance,
+        surface_compact=cfg.surface_compact,
         interpret=interpret,
         init_trans_tiles=t0_tiles,
         ed_override_tiles=edov_tiles,
@@ -1167,17 +1199,25 @@ def _finish_pallas(
     # several-fold smaller domain on early-exit-heavy scenes.  Results
     # are identical to reducing the full aligned stream: skipped chunks'
     # rows are all-zero, and zero rows are inert in both scatter passes.
-    # The surface min still reduces the full aligned prefix (its kernel
-    # pass runs every chunk regardless of the blend's early exit).
+    # With surface_compact, sd rides the SAME compact stream (reference
+    # break semantics, forward.cu:369-371), so its scatter-min fuses into
+    # the one windowed pass; otherwise sd stays aligned-order and reduces
+    # over the full occupied prefix.
     packed_ok = cfg.width_pad * cfg.height_pad < (1 << 20)
-    contrib, best_colour, best_pix = _pair_reduce(
-        gid_c, m_c, apix_c, image, P, total_c,
-        allow_packed=packed_ok,
-    )
-    if calc_surface_distance:
-        surf = _sd_reduce(pairs.gid, sd_al, P, pairs.total)
+    if calc_surface_distance and cfg.surface_compact:
+        contrib, best_colour, best_pix, surf = _pair_reduce(
+            gid_c, m_c, apix_c, image, P, total_c,
+            sd_pairs=sd_al, allow_packed=packed_ok,
+        )
     else:
-        surf = jnp.full(P, FLOAT_MAX, jnp.float32)
+        contrib, best_colour, best_pix = _pair_reduce(
+            gid_c, m_c, apix_c, image, P, total_c,
+            allow_packed=packed_ok,
+        )
+        if calc_surface_distance:
+            surf = _sd_reduce(pairs.gid, sd_al, P, pairs.total)
+        else:
+            surf = jnp.full(P, FLOAT_MAX, jnp.float32)
 
     return RenderOutput(
         image=image,

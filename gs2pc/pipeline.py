@@ -451,6 +451,7 @@ def convert_3dgs_to_pc(
                         settings.render.compact_pairs
                         and settings.renderer_type == "tile"
                     ),
+                    surface_compact=settings.render.surface_compact,
                 )
                 if (
                     cfg.pair_budget == 0

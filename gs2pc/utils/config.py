@@ -46,6 +46,12 @@ class RenderConfig(NamedTuple):
     # 8-bit precision); halves per-pair gather/DMA traffic.  Off = exact
     # f32 colours through the blend (oracle-parity mode).
     compact_pairs: bool = True
+    # Surface-distance early-exit compaction: reproduce the reference's
+    # block-level break (forward.cu:369-371 — once every pixel in a tile
+    # is done, the surface pass stops too) so occluded tail pairs never
+    # enter the surface min and the kernel skips their DMA sweep.  Off =
+    # min over every capped run pair (dense-renderer semantics).
+    surface_compact: bool = True
 
 
 class GaussPointCloudSettings(NamedTuple):
@@ -195,6 +201,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--shard_axis", type=str, default="cams", choices=["cams", "gauss", "both"], help="Multi-device sharding axis for the render sweep: 'cams' = camera data parallel, 'gauss' = depth-slab Gaussian parallel, 'both' = near-square 2-D (cams x gauss) mesh. Note: with 'gauss'/'both', a tile that saturates --max_pairs_per_tile blends up to devices x cap pairs, so results on cap-saturated scenes can vary slightly with --num_devices")
     p.add_argument("--dispatch_cameras", type=int, default=0, help="Cameras rendered per device dispatch during the colour sweep (0 = auto-size from the pair budget). Splitting the sweep into bounded dispatches is byte-identical to one monolithic dispatch and keeps each device program short")
     p.add_argument("--no_compact_pairs", action="store_true", help="Carry full-precision f32 colours through the tile renderer's per-pair tables instead of the default 8-bit-quantized compact rows (the output PLY stores 8-bit colours either way; compact halves the render sweep's per-pair memory traffic)")
+    p.add_argument("--no_surface_compact", action="store_true", help="Compute each Gaussian's min surface distance over every pair in its tile runs instead of stopping at the tile's blend early exit (the reference kernel stops the surface pass there too; disabling matches the dense renderer's full-run semantics at the cost of extra render-sweep time)")
     p.add_argument("--profile_dir", type=str, default=None, help="Write a jax.profiler trace of the conversion to this directory (view with TensorBoard/XProf)")
     return p
 
@@ -311,5 +318,6 @@ def settings_from_args(args: argparse.Namespace) -> GaussPointCloudSettings:
             use_pallas=args.pallas,
             dispatch_cams=args.dispatch_cameras,
             compact_pairs=not args.no_compact_pairs,
+            surface_compact=not args.no_surface_compact,
         ),
     )

@@ -78,8 +78,18 @@ def render_oracle(
     antialiasing=False,
     tile=16,
     calc_surface_distance=True,
+    run_chunk=None,
 ):
     """Render one camera exactly per the reference kernel equations.
+
+    ``run_chunk``: when set, the surface-distance pass reproduces the
+    reference's block-level break (forward.cu:369-371: once every pixel
+    in a tile is done, the ENTIRE batch loop — surface pass included —
+    exits), at ``run_chunk``-pair batch granularity instead of the CUDA
+    BLOCK_SIZE of 256: a pair only enters a tile's surface min if its
+    rank in the tile's depth-ordered run lands in a batch streamed
+    before that break.  When None (legacy mode, what the dense renderer
+    pins), the surface min covers every rect pair.
 
     Returns a dict: image (H, W, 3), depth (H, W), invdepth (H, W),
     contrib (P,), best_pix (P,), best_colour (P, 3), surf_dist (P,),
@@ -176,6 +186,13 @@ def render_oracle(
     contrib = np.zeros(P, np.float64)
     best_pix = np.full(P, -1, np.int64)
 
+    # Chunk-break bookkeeping (run_chunk mode): cnt[t] = pairs emitted
+    # into tile t's run so far (= the rank the NEXT pair gets);
+    # trig_rank[p] = rank within p's tile run of the pair whose test_T
+    # drop marked p done (-1 = never).
+    cnt = np.zeros((grid_h, grid_w), np.int64)
+    trig_rank = np.full(npx, -1, np.int64)
+
     for g in order:
         in_rect = (
             (tile_x >= rminx[g]) & (tile_x < rmaxx[g])
@@ -192,6 +209,12 @@ def render_oracle(
         test_T = T * (1.0 - alpha)
         trigger = ok & (test_T < _T_EPS)
         done = done | trigger  # triggering Gaussian is NOT composited
+        if run_chunk is not None:
+            rank_px = cnt[tile_y, tile_x]  # g's rank in each pixel's tile
+            trig_rank = np.where(
+                trigger & (trig_rank < 0), rank_px, trig_rank
+            )
+            cnt[rminy[g]:rmaxy[g], rminx[g]:rmaxx[g]] += 1
         use = ok & ~trigger
         w_g = np.where(use, alpha * T, 0.0)
         C += w_g[:, None] * cols[g][None, :]
@@ -214,7 +237,7 @@ def render_oracle(
 
     # ---- surface distance (forward.cu:460-477) ---------------------- #
     surf = np.full(P, _FLOAT_MAX, np.float64)
-    if calc_surface_distance:
+    if calc_surface_distance and run_chunk is None:
         for g in order:
             in_rect = (
                 (tile_x >= rminx[g]) & (tile_x < rmaxx[g])
@@ -223,6 +246,34 @@ def render_oracle(
             )
             if in_rect.any():
                 surf[g] = np.abs(depth[g] - exp_depth[in_rect]).min()
+    elif calc_surface_distance:
+        # Chunk-break mode: tile t streams batches only while some live
+        # pixel is not done at the batch start (forward.cu:369-371).  A
+        # pixel whose trigger landed at rank k keeps batches streaming
+        # through batch k // run_chunk; a pixel that never triggers keeps
+        # the tile streaming to the end of its run.
+        need = np.where(trig_rank >= 0, trig_rank // run_chunk, -1)
+        run_len_px = cnt[tile_y, tile_x]
+        never = (trig_rank < 0) & live0
+        need = np.where(
+            never, (run_len_px + run_chunk - 1) // run_chunk - 1, need
+        )
+        need = np.where(live0, need, -1)
+        n_streamed = np.zeros((grid_h, grid_w), np.int64)
+        np.maximum.at(n_streamed, (tile_y, tile_x), need + 1)
+        rank_cap = n_streamed * run_chunk  # pairs at rank >= cap excluded
+
+        cnt2 = np.zeros((grid_h, grid_w), np.int64)
+        for g in order:
+            elig = cnt2 < rank_cap  # g's rank per tile, pre-increment
+            sel = (
+                (tile_x >= rminx[g]) & (tile_x < rmaxx[g])
+                & (tile_y >= rminy[g]) & (tile_y < rmaxy[g])
+                & live0 & elig[tile_y, tile_x]
+            )
+            if sel.any():
+                surf[g] = np.abs(depth[g] - exp_depth[sel]).min()
+            cnt2[rminy[g]:rmaxy[g], rminx[g]:rmaxx[g]] += 1
 
     return {
         "image": img.reshape(height, width, 3).astype(np.float32),

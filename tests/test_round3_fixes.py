@@ -267,3 +267,112 @@ class TestOutlierCleanupParity:
         if "open3d" in sys.modules:
             pytest.skip("real open3d present")
         assert _open3d_outlier_keep(np.zeros((4, 3)), 20, 10.0) is None
+
+
+def _opaque_stack_scene(n=192, seed=7):
+    """A dense stack of large opaque splats covering the whole image: the
+    front few run chunks drive every pixel's transmittance below 1/255,
+    so the tile renderer's block-level early exit genuinely fires and the
+    occluded tail never streams (the regime where surface compaction
+    diverges from the full-run surface min)."""
+    from gs2pc.models.gaussians import Gaussians
+
+    r = np.random.default_rng(seed)
+    xyz = np.zeros((n, 3), np.float32)
+    xyz[:, 2] = np.linspace(0.0, 0.5, n)
+    quats = np.tile(np.array([1, 0, 0, 0], np.float32), (n, 1))
+    scales = np.full((n, 3), 0.5, np.float32)
+    cols = r.uniform(0, 1, (n, 3)).astype(np.float32)
+    opac = np.full(n, 0.995, np.float32)
+    return Gaussians.create(xyz, scales, quats, cols, opac)
+
+
+class TestSurfaceCompact:
+    """Surface-distance early-exit compaction (reference block-level
+    break, forward.cu:369-371): with surface_compact the surface min only
+    sees run chunks the blend actually streamed before every pixel in the
+    tile went opaque; without it, every capped run pair enters the min
+    (the dense renderer's semantics)."""
+
+    RC = 32
+
+    def _render(self, scene, surface_compact, width=64, height=64,
+                focal=90.0, use_pallas=False, run_cap=4096):
+        from gs2pc.ops.rasterize import TileConfig, render_tile_camera
+
+        cam, wp, hp = single_camera(width=width, height=height, focal=focal)
+        cfg = TileConfig(
+            width_pad=wp, height_pad=hp, slots=64, slots_small=64,
+            run_cap=run_cap, run_chunk=self.RC, tile_batch=8,
+            surface_compact=surface_compact, compact=use_pallas,
+        )
+        return render_tile_camera(
+            scene.xyz, scene.covariance_factors(), scene.opacities,
+            scene.colours, jnp.ones(scene.num_gaussians, bool), cam, cfg,
+            calc_surface_distance=True,
+            use_pallas=use_pallas, pallas_interpret=use_pallas,
+        )
+
+    def _oracle(self, scene, width=64, height=64, focal=90.0,
+                run_chunk=None):
+        from tests.np_oracle import render_oracle
+        from tests.test_render import look_at_camera
+        from gs2pc.camera import build_camera_batch
+
+        c2w, intr = look_at_camera(width=width, height=height, focal=focal)
+        cams, _, _ = build_camera_batch({"c": c2w.tolist()}, {"c": intr})
+        cam = cams.at(0)
+        return render_oracle(
+            xyz=np.asarray(scene.xyz),
+            log_scales=np.asarray(scene.log_scales),
+            quats=np.asarray(scene.rots),
+            opacities=np.asarray(scene.opacities),
+            colours=np.asarray(scene.colours),
+            viewmatrix=np.asarray(cam.viewmatrix),
+            projmatrix=np.asarray(cam.projmatrix),
+            tanfovx=float(cam.tanfovx), tanfovy=float(cam.tanfovy),
+            focal_x=float(cam.focal_x), focal_y=float(cam.focal_y),
+            width=width, height=height, run_chunk=run_chunk,
+        )["surf_dist"]
+
+    @staticmethod
+    def _assert_sd_equal(a, b, atol=1e-5):
+        a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+        fa, fb = a < 1e30, b < 1e30
+        np.testing.assert_array_equal(fa, fb)
+        np.testing.assert_allclose(a[fa], b[fb], atol=atol)
+
+    def test_translucent_scene_identical(self):
+        """No early exit -> compact ON == OFF == full oracle."""
+        scene = make_synthetic_scene(96, seed=21, scale_lo=-3.0,
+                                     scale_hi=-1.2)
+        sd_on = self._render(scene, True).surf_dist
+        sd_off = self._render(scene, False).surf_dist
+        self._assert_sd_equal(sd_on, sd_off)
+        self._assert_sd_equal(sd_off, self._oracle(scene))
+
+    def test_opaque_stack_matches_oracle_break_semantics(self):
+        scene = _opaque_stack_scene()
+        sd_on = np.asarray(self._render(scene, True).surf_dist)
+        sd_off = np.asarray(self._render(scene, False).surf_dist)
+        self._assert_sd_equal(sd_off, self._oracle(scene))
+        self._assert_sd_equal(
+            sd_on, self._oracle(scene, run_chunk=self.RC)
+        )
+        # The compaction genuinely fires: occluded tails drop out of the
+        # surface min entirely (FLOAT_MAX), while the streamed front
+        # keeps its exact full-mode distances.
+        on_f, off_f = sd_on < 1e30, sd_off < 1e30
+        assert int((off_f & ~on_f).sum()) > scene.num_gaussians // 2
+        assert not bool((on_f & ~off_f).any())
+        np.testing.assert_allclose(sd_on[on_f], sd_off[on_f], atol=1e-6)
+
+    def test_pallas_matches_xla_compact(self):
+        """Pallas kernel's compact sd stream == XLA compact semantics on
+        a scene where the early exit genuinely fires (interpret mode)."""
+        scene = _opaque_stack_scene(n=96)
+        sd_x = self._render(scene, True, width=32, height=32,
+                            run_cap=256).surf_dist
+        sd_p = self._render(scene, True, width=32, height=32,
+                            run_cap=256, use_pallas=True).surf_dist
+        self._assert_sd_equal(sd_p, sd_x, atol=1e-5)
