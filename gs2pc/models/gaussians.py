@@ -78,6 +78,59 @@ class Gaussians:
             keep_mask=jnp.ones(xyz.shape[0], dtype=bool),
         )
 
+    @staticmethod
+    def from_covariances(
+        xyz,
+        covariances,
+        colours,
+        opacities,
+        shs=None,
+        validate: bool = True,
+    ) -> "Gaussians":
+        """Build a scene from externally supplied dense 3x3 covariances.
+
+        The external-Sigma entry point: covariances that did NOT come from
+        (scale, rotation) factors — e.g. a downstream tool's export — first
+        run the reference's matrix-space repair pipeline
+        (gauss_handler.py:108-166: eps-regularise -> eigh clamp x3 -> cull
+        irreparable rows; ops/covariance.py), then are refactored into the
+        TPU-native factor form via one batched eigh:
+
+            Sigma = V diag(lambda) V^T  =>  log_scales = 0.5 log(lambda),
+            rots = quat(V)  (V's handedness fixed so det = +1),
+
+        so Sigma == covariance_factors() @ covariance_factors().T exactly
+        and every downstream op (render, sample, cull) works unchanged.
+        Rows that remain non-PSD after repair are marked in ``keep_mask``
+        (the reference culls them, gauss_handler.py:161-164).
+        """
+        from gs2pc.ops.covariance import validate_covariance_matrices
+        from gs2pc.ops.quaternion import rotmat_to_quat
+
+        covs = jnp.asarray(covariances, jnp.float32)
+        if validate:
+            covs, keep = validate_covariance_matrices(covs)
+        else:
+            keep = jnp.ones(covs.shape[0], dtype=bool)
+
+        eigvals, eigvecs = jnp.linalg.eigh(covs)  # ascending, orthonormal V
+        eigvals = jnp.maximum(eigvals, 1e-12)
+        # eigh may return a left-handed basis; flip one column so V is a
+        # proper rotation before the quaternion conversion.
+        det = jnp.linalg.det(eigvecs)
+        eigvecs = eigvecs * jnp.stack(
+            [jnp.ones_like(det), jnp.ones_like(det), jnp.sign(det)], axis=-1
+        )[..., None, :]
+        scene = Gaussians.create(
+            xyz,
+            0.5 * jnp.log(eigvals),
+            rotmat_to_quat(eigvecs),
+            colours,
+            opacities,
+            shs=shs,
+        )
+        return dataclasses.replace(scene, keep_mask=keep)
+
     @property
     def num_gaussians(self) -> int:
         return self.xyz.shape[0]

@@ -164,3 +164,85 @@ class TestCovarianceRepair:
         fixed, keep = validate_covariance_matrices(jnp.asarray(S))
         assert np.asarray(keep).all()
         assert not np.asarray(non_posdef_mask(fixed, epsilon=1e-9)).any()
+
+
+class TestRotmatToQuat:
+    def test_roundtrip_random(self, rng):
+        from gs2pc.ops.quaternion import rotmat_to_quat
+
+        q = normalize(jnp.asarray(rng.normal(size=(256, 4)), jnp.float32))
+        R = quat_to_rotmat(q)
+        q2 = rotmat_to_quat(R)
+        # q and -q encode the same rotation: compare rotation matrices.
+        np.testing.assert_allclose(quat_to_rotmat(q2), R, atol=2e-5)
+        # canonical sign
+        assert (np.asarray(q2[:, 0]) >= 0).all()
+
+    def test_near_pi_rotations(self):
+        """180-degree rotations have trace -1 (the w-branch is degenerate);
+        the candidate selection must pick a stable axis branch."""
+        from gs2pc.ops.quaternion import rotmat_to_quat
+
+        Rs = jnp.stack(
+            [
+                jnp.diag(jnp.array([1.0, -1.0, -1.0])),  # pi about x
+                jnp.diag(jnp.array([-1.0, 1.0, -1.0])),  # pi about y
+                jnp.diag(jnp.array([-1.0, -1.0, 1.0])),  # pi about z
+            ]
+        )
+        q = rotmat_to_quat(Rs)
+        np.testing.assert_allclose(quat_to_rotmat(q), Rs, atol=1e-6)
+
+
+class TestFromCovariances:
+    """External-Sigma entry point (Gaussians.from_covariances)."""
+
+    def test_factor_roundtrip(self, scene):
+        covs = scene.covariances()
+        g2 = Gaussians.from_covariances(
+            scene.xyz, covs, scene.colours, scene.opacities
+        )
+        np.testing.assert_allclose(
+            np.asarray(g2.covariances()), np.asarray(covs), atol=5e-5, rtol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(g2.xyz), np.asarray(scene.xyz), atol=0
+        )
+        assert np.asarray(g2.keep_mask).all()
+
+    def test_repairs_non_psd(self, rng):
+        A = rng.normal(size=(16, 3, 3)).astype(np.float32) * 0.1
+        S = A @ np.transpose(A, (0, 2, 1)) + 0.05 * np.eye(3)
+        S[5] = np.diag([0.02, 0.02, -1e-3])  # indefinite -> repairable
+        g = Gaussians.from_covariances(
+            np.zeros((16, 3), np.float32), S,
+            np.full((16, 3), 0.5, np.float32),
+            np.full(16, 0.8, np.float32),
+        )
+        # Every emitted covariance is PSD by construction (factor form)...
+        assert not np.asarray(
+            non_posdef_mask(g.covariances(), epsilon=1e-10)
+        ).any()
+        # ...and matches the repaired matrices the reference pipeline makes.
+        fixed, keep = validate_covariance_matrices(jnp.asarray(S))
+        np.testing.assert_allclose(
+            np.asarray(g.covariances()), np.asarray(fixed), atol=5e-5, rtol=1e-3
+        )
+        np.testing.assert_array_equal(np.asarray(g.keep_mask), np.asarray(keep))
+
+    def test_downstream_ops_work(self, rng):
+        """The refactored scene drives magnitudes/normals/sampling paths."""
+        n = 64
+        A = rng.normal(size=(n, 3, 3)).astype(np.float32) * 0.05
+        S = A @ np.transpose(A, (0, 2, 1)) + 0.01 * np.eye(3)
+        g = Gaussians.from_covariances(
+            rng.normal(size=(n, 3)).astype(np.float32), S,
+            rng.uniform(0, 1, (n, 3)).astype(np.float32),
+            rng.uniform(0.3, 1, n).astype(np.float32),
+        )
+        mags = np.asarray(g.magnitudes())
+        assert (mags > 0).all()
+        normals = np.asarray(g.calculate_normals().normals)
+        np.testing.assert_allclose(
+            np.linalg.norm(normals, axis=1), np.ones(n), atol=1e-5
+        )
