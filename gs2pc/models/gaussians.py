@@ -35,6 +35,24 @@ from gs2pc.ops.quaternion import quat_to_rotmat
 _KT_P = 1.6075
 
 
+def upload_f32(x) -> jnp.ndarray:
+    """Host->device upload of a float32 array via a FLAT transfer.
+
+    The tunnelled TPU transfers the padded device layout: a (N, k) array
+    with small minor dim k pads k up to the lane width, so the wire
+    carries up to 128/k x the logical bytes (measured: 4.2 MB/s for
+    (N,3) f32 vs 19 MB/s flat).  Uploading the raveled buffer and
+    reshaping on device keeps the transfer at logical size.  No-op for
+    arrays already on device.
+    """
+    if isinstance(x, jnp.ndarray) and not isinstance(x, np.ndarray):
+        return x.astype(jnp.float32) if x.dtype != jnp.float32 else x
+    h = np.ascontiguousarray(np.asarray(x), dtype=np.float32)
+    if h.ndim >= 2 and h.shape[-1] < 32:
+        return jnp.asarray(h.reshape(-1)).reshape(h.shape)
+    return jnp.asarray(h)
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class Gaussians:
@@ -66,14 +84,14 @@ class Gaussians:
     # ------------------------------------------------------------------ #
     @staticmethod
     def create(xyz, log_scales, rots, colours, opacities, shs=None) -> "Gaussians":
-        xyz = jnp.asarray(xyz, jnp.float32)
+        xyz = upload_f32(xyz)
         return Gaussians(
             xyz=xyz,
-            log_scales=jnp.asarray(log_scales, jnp.float32),
-            rots=jnp.asarray(rots, jnp.float32),
-            opacities=jnp.asarray(opacities, jnp.float32).reshape(-1),
-            colours=jnp.asarray(colours, jnp.float32),
-            shs=None if shs is None else jnp.asarray(shs, jnp.float32),
+            log_scales=upload_f32(log_scales),
+            rots=upload_f32(rots),
+            opacities=upload_f32(opacities).reshape(-1),
+            colours=upload_f32(colours),
+            shs=None if shs is None else upload_f32(shs),
             normals=None,
             keep_mask=jnp.ones(xyz.shape[0], dtype=bool),
         )

@@ -417,24 +417,25 @@ def _build_pairs(prep, cfg: TileConfig, sort: bool = True):
     gid_t = jnp.where(pair_ok, jnp.broadcast_to(gid_g[None, :], (Q, G)), P)
     dbits = jax.lax.bitcast_convert_type(rt[6], jnp.int32)  # (G,) depth bits
 
-    # Sort key, two regimes (gated on L like the quantum — small/test
-    # budgets keep the reference-exact full-precision depth order):
-    #  * packed: ONE uint32 key (tile | top depth bits) + gid tiebreak —
-    #    a 2-operand sort, ~25% cheaper than 3 operands at production
-    #    sizes.  Positive-f32 depth bits are order-isomorphic, so
-    #    truncating to the low key bits only reorders pairs whose depths
-    #    agree to ~2^-(mantissa kept) relative — ties fall back to gid
-    #    (deterministic; the reference's own 64-bit key keeps full f32
-    #    depth, rasterizer_impl.cu:311-316).
+    # Sort key, two regimes (gated on L like the quantum):
+    #  * packed: primary uint32 key (tile | top depth bits) + FULL f32
+    #    depth bits as the secondary operand + gid tiebreak.  The packed
+    #    primary resolves almost every comparison in one u32 compare;
+    #    the full depth bits make the order EXACT — truncating depth to
+    #    the packed low bits alone reordered near-equal-depth splats vs
+    #    the reference's 64-bit [tileID|depth] key
+    #    (rasterizer_impl.cu:311-316) and cost ~20 dB vs the dense
+    #    oracle at production pair densities (alpha blending is order-
+    #    sensitive).  Positive-f32 depth bits are order-isomorphic to
+    #    depth, and the packed prefix is consistent with them, so
+    #    (packed, dbits, gid) sorts exactly as (tile, depth, gid).
     #  * exact: (tile, depth bits, gid) 3-operand.
     if L >= (1 << 20):
         tile_bits = max(int(math.ceil(math.log2(cfg.num_tiles_pad + 2))), 1)
         depth_bits = 32 - tile_bits
         tile_key = (tile_y * cfg.grid_w + tile_x).astype(jnp.uint32)
-        dq = (
-            jnp.broadcast_to(dbits[None, :], (Q, G)).astype(jnp.uint32)
-            >> (32 - depth_bits)
-        )
+        dbits_t = jnp.broadcast_to(dbits[None, :], (Q, G)).astype(jnp.uint32)
+        dq = dbits_t >> (32 - depth_bits)
         packed_t = jnp.where(
             pair_ok,
             (tile_key << depth_bits) | dq,
@@ -449,7 +450,8 @@ def _build_pairs(prep, cfg: TileConfig, sort: bool = True):
                 (packed >> depth_bits).astype(jnp.int32),
             )
             return keys, gid_out, win_dropped.astype(jnp.int32)
-        sp, sg = jax.lax.sort((packed, gid_out), num_keys=2)
+        dfull = dbits_t.T.reshape(L)
+        sp, _, sg = jax.lax.sort((packed, dfull, gid_out), num_keys=3)
         sorted_keys = jnp.where(
             sp == jnp.uint32(0xFFFFFFFF),
             jnp.int32(_KEY_SENTINEL),
