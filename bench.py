@@ -308,19 +308,16 @@ def run_e2e(ply, tj, mask_dir, settings, out_path):
     """ONE full conversion, scene-on-disk to cloud-on-disk — the exact
     work of gs2pc.cli.main (reference main(), gauss_to_pc.py:712-786)."""
     from gs2pc import pipeline
-    from gs2pc.io.ply import save_xyz_to_ply
+    from gs2pc.io.ply import save_point_cloud_ply
     from gs2pc.utils import log
 
     log.reset_phases()
     t0 = time.perf_counter()
     total_pc, _ = pipeline.convert_3dgs_to_pc(ply, tj, mask_dir, settings)
     with log.phase("ply_write"):
-        save_xyz_to_ply(
-            total_pc.points, out_path,
-            rgb_colors=total_pc.colours,
-            normals_points=total_pc.normals,
-            chunk_size=10**6, quiet=True,
-        )
+        # Streaming writer: the device->host point transfer overlaps the
+        # disk write (it now lands in t_io, no longer in t_sample).
+        save_point_cloud_ply(total_pc, out_path, chunk_size=10**6, quiet=True)
     t_total = time.perf_counter() - t0
     ph = dict(log.PHASE_SECONDS)
     return {
@@ -329,7 +326,7 @@ def run_e2e(ply, tj, mask_dir, settings, out_path):
         "t_sweep": ph.get("render_sweep", 0.0),
         "t_sample": ph.get("point_sampling", 0.0),
         "t_io": ph.get("ply_write", 0.0),
-        "n_points": int(total_pc.points.shape[0]),
+        "n_points": int(total_pc.total),
         "diag": list(pipeline.LAST_SWEEP_DIAG or [0.0, 0.0, 0.0, 0.0]),
     }
 

@@ -45,7 +45,7 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
     log.set_quiet(settings.quiet)
     enable_compilation_cache()
 
-    from gs2pc.io.ply import save_xyz_to_ply
+    from gs2pc.io.ply import save_point_cloud_ply
     from gs2pc.pipeline import PointCloudData, convert_3dgs_to_pc
 
     profiling = args.profile_dir is not None
@@ -81,11 +81,12 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
 
     log.info("Saving Final Point Cloud")
     with log.phase("ply_write"):
-        save_xyz_to_ply(
-            total_point_cloud.points,
+        # Streaming writer: overlaps the device->host point transfer
+        # with the disk write (no-op for already-materialised clouds,
+        # e.g. after --clean_pointcloud).
+        save_point_cloud_ply(
+            total_point_cloud,
             args.output_path,
-            rgb_colors=total_point_cloud.colours,
-            normals_points=total_point_cloud.normals,
             chunk_size=10**6,
             quiet=args.quiet,
         )

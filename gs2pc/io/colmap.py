@@ -63,8 +63,8 @@ def read_colmap_bin_intrinsics(file_path: str) -> Dict[int, tuple]:
             camera_id = elems[0]
             if elems[1] != 1:
                 log.warn(
-                    "Colmap cameras are a not Pinhole camera type. "
-                    "Rendered Colour quality might be impacted!"
+                    "non-PINHOLE COLMAP camera model found; intrinsics are "
+                    "treated as pinhole, which may degrade rendered colours"
                 )
             intrinsics[camera_id] = elems[2:]
     return intrinsics
@@ -82,8 +82,8 @@ def read_colmap_txt_intrinsics(file_path: str) -> Dict[int, tuple]:
             camera_id = int(elems[0])
             if elems[1].lower().strip() != "pinhole":
                 log.warn(
-                    "Colmap cameras are not a Pinhole camera type. "
-                    "Rendered Colour quality might be impacted!"
+                    "non-PINHOLE COLMAP camera model found; intrinsics are "
+                    "treated as pinhole, which may degrade rendered colours"
                 )
             intrinsics[camera_id] = tuple(elems[2:])
     return intrinsics

@@ -334,6 +334,77 @@ def save_xyz_to_ply(
             fh.write(vertex.tobytes())
 
 
+def _ply_header(total: int, with_normals: bool) -> bytes:
+    if with_normals:
+        return (
+            "ply\nformat binary_little_endian 1.0\n"
+            f"element vertex {total}\n"
+            "property float x\nproperty float y\nproperty float z\n"
+            "property float nx\nproperty float ny\nproperty float nz\n"
+            "property uchar red\nproperty uchar green\nproperty uchar blue\n"
+            "end_header\n"
+        ).encode("utf-8")
+    return (
+        "ply\nformat binary_little_endian 1.0\n"
+        f"element vertex {total}\n"
+        "property float x\nproperty float y\nproperty float z\n"
+        "property uchar red\nproperty uchar green\nproperty uchar blue\n"
+        "end_header\n"
+    ).encode("utf-8")
+
+
+def save_point_cloud_ply(
+    cloud,
+    filename: str,
+    chunk_size: int = 10**6,
+    quiet: bool = False,
+) -> None:
+    """Streaming PLY writer for a ``LazyPointCloud``.
+
+    Byte-identical output to ``save_xyz_to_ply`` on the materialised
+    arrays, but each chunk is written while the next chunk's device->host
+    transfer is already in flight (``LazyPointCloud.stream_chunks``), so
+    tunnel/PCIe time and disk time overlap instead of stacking.
+    Falls back to the eager writer for plain-array clouds.
+    """
+    stream = getattr(cloud, "stream_chunks", None)
+    if stream is None:
+        save_xyz_to_ply(
+            cloud.points, filename, rgb_colors=cloud.colours,
+            normals_points=cloud.normals, chunk_size=chunk_size, quiet=quiet,
+        )
+        return
+
+    with_normals = cloud.has_normals
+    if with_normals:
+        dtype = [
+            ("x", "<f4"), ("y", "<f4"), ("z", "<f4"),
+            ("nx", "<f4"), ("ny", "<f4"), ("nz", "<f4"),
+            ("red", "u1"), ("green", "u1"), ("blue", "u1"),
+        ]
+    else:
+        dtype = [
+            ("x", "<f4"), ("y", "<f4"), ("z", "<f4"),
+            ("red", "u1"), ("green", "u1"), ("blue", "u1"),
+        ]
+    with open(filename, "wb") as fh:
+        fh.write(_ply_header(cloud.total, with_normals))
+        for pts, cols, nrm in stream(chunk_size):
+            vertex = np.zeros(pts.shape[0], dtype=dtype)
+            vertex["x"], vertex["y"], vertex["z"] = (
+                pts[:, 0], pts[:, 1], pts[:, 2],
+            )
+            if with_normals:
+                vertex["nx"], vertex["ny"], vertex["nz"] = (
+                    nrm[:, 0], nrm[:, 1], nrm[:, 2],
+                )
+            cols = np.clip(cols, 0, 255).astype(np.uint8)
+            vertex["red"], vertex["green"], vertex["blue"] = (
+                cols[:, 0], cols[:, 1], cols[:, 2],
+            )
+            fh.write(vertex.tobytes())
+
+
 def _native_write(xyz, filename, rgb, normals, chunk_size) -> bool:
     """Try the C++ writer; returns False to fall back to numpy."""
     try:

@@ -29,6 +29,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from gs2pc.ops.linalg3 import bmm33_nt
 from gs2pc.ops.quaternion import quat_to_rotmat
 
 # Knud Thomsen's ellipsoid surface-area exponent (gauss_handler.py:262).
@@ -176,7 +177,7 @@ class Gaussians:
     def covariances(self, scaling_modifier: float = 1.0) -> jnp.ndarray:
         """(P, 3, 3) dense covariance matrices (host-boundary use only)."""
         M = self.covariance_factors(scaling_modifier)
-        return M @ jnp.swapaxes(M, -1, -2)
+        return bmm33_nt(M, M)
 
     def covariances_packed(self) -> jnp.ndarray:
         """(P, 6) upper-triangular packing [xx, xy, xz, yy, yz, zz].

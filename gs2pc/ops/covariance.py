@@ -12,6 +12,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from gs2pc.ops.eig3 import min_eigval_sym3
+from gs2pc.ops.linalg3 import eig_recompose3
 
 
 def non_posdef_mask(covariances: jnp.ndarray, epsilon: float = 1e-10) -> jnp.ndarray:
@@ -43,7 +44,7 @@ def clamp_covariances(
     """
     eigvals, eigvecs = jnp.linalg.eigh(covariances)
     eigvals = jnp.maximum(eigvals, epsilon)
-    fixed = jnp.einsum("...ij,...j,...kj->...ik", eigvecs, eigvals, eigvecs)
+    fixed = eig_recompose3(eigvecs, eigvals)
     if mask is None:
         return fixed
     return jnp.where(mask[:, None, None], fixed, covariances)

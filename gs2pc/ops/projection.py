@@ -13,6 +13,8 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
+from gs2pc.ops.linalg3 import affine3, dotrow3, rot_factors3
+
 # Frustum near-cull depth (auxiliary.h:167 — p_view.z <= 0.2 is culled).
 NEAR_Z = 0.2
 # Low-pass dilation of the 2D covariance (forward.cu:219: h_var = 0.3).
@@ -79,14 +81,17 @@ def preprocess(
             must pass False.
     """
     # --- view / clip transforms -------------------------------------- #
+    # All dim-3 contractions go through gs2pc.ops.linalg3 (exact-f32 VPU
+    # FMAs) — an MXU matmul here is bf16 by default and, compiled in two
+    # different programs, disagrees with itself (see linalg3 docstring).
     Rv = viewmatrix[:3, :3]
     tv = viewmatrix[:3, 3]
-    p_view = means @ Rv.T + tv
+    p_view = affine3(means, Rv, tv)
     depth = p_view[:, 2]
     in_front = depth > NEAR_Z
 
-    ph = means @ projmatrix[:3, :3].T + projmatrix[:3, 3]
-    pw = means @ projmatrix[3, :3].T + projmatrix[3, 3]
+    ph = affine3(means, projmatrix[:3, :3], projmatrix[:3, 3])
+    pw = dotrow3(means, projmatrix[3, :3], projmatrix[3, 3])
     inv_w = 1.0 / (pw + 1e-7)
     ndc_x = ph[:, 0] * inv_w
     ndc_y = ph[:, 1] * inv_w
@@ -100,7 +105,7 @@ def preprocess(
     ty = jnp.clip(p_view[:, 1] / tz, -limy, limy) * tz
 
     # T0 = W M3 (world->view rotate the factor), rows combined by J.
-    T0 = jnp.einsum("ij,pjk->pik", Rv, cov_factors)
+    T0 = rot_factors3(Rv, cov_factors)
     inv_z = 1.0 / tz
     row0 = (focal_x * inv_z)[:, None] * T0[:, 0, :] - (
         focal_x * tx * inv_z * inv_z
@@ -205,5 +210,5 @@ def mark_visible(
     The CUDA check reduces to view-space z > 0.2 (auxiliary.h in_frustum).
     """
     del projmatrix  # the reference computes but ignores the NDC bound too
-    p_view_z = means @ viewmatrix[2, :3].T + viewmatrix[2, 3]
+    p_view_z = dotrow3(means, viewmatrix[2, :3], viewmatrix[2, 3])
     return p_view_z > NEAR_Z

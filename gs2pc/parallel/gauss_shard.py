@@ -66,6 +66,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from gs2pc.camera import CameraBatch
 from gs2pc.ops.blend import FLOAT_MAX, RenderOutput
+from gs2pc.ops.linalg3 import dotrow3
 from gs2pc.ops.projection import NEAR_Z
 from gs2pc.ops.rasterize import TileConfig, render_tile_camera
 from gs2pc.parallel.sweep import (
@@ -89,7 +90,9 @@ def make_gauss_mesh(num_devices: int = 0, devices=None) -> Mesh:
 
 def _slab_mask(means, viewmatrix, alive, d, n_dev):
     """Deterministic depth-slab assignment (identical on every device)."""
-    depth = means @ viewmatrix[2, :3].T + viewmatrix[2, 3]
+    # Exact-f32 row transform (linalg3): slab assignment must agree
+    # bit-for-bit with preprocess()'s depths across programs/devices.
+    depth = dotrow3(means, viewmatrix[2, :3], viewmatrix[2, 3])
     assignable = alive & (depth > NEAR_Z)
 
     p = means.shape[0]

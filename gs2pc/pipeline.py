@@ -42,6 +42,110 @@ class PointCloudData(NamedTuple):
     normals: Optional[np.ndarray]  # (N, 3) float32 or None
 
 
+class LazyPointCloud:
+    """Point cloud whose positions still live on the device.
+
+    The device->host transfer of the point buffer is the single largest
+    host cost of a conversion on a tunnelled TPU (~120 MB for 10M points
+    at ~24 MB/s), and in the eager design it sat serially between the
+    sampler and the PLY write.  This object defers it: ``stream_chunks``
+    yields write-ready chunks while the NEXT chunk's transfer is already
+    in flight (``copy_to_host_async``), so the disk write and the PCIe/
+    tunnel transfer overlap.  The ``points``/``colours``/``normals``
+    properties materialise eagerly for consumers that need whole arrays
+    (cleanup, meshing, tests) — same order, same bytes as the streamed
+    path.
+
+    Per-point colours/normals are pure row-repeats of per-Gaussian planes
+    (slot-major sampler order), so only the P-sized planes are fetched;
+    rows expand on the host per chunk.
+    """
+
+    def __init__(
+        self,
+        flat_points,  # device array, flat f32, length >= 3 * total
+        counts: np.ndarray,  # (P,) int64 per-Gaussian quotas (clamped)
+        cols_u8: np.ndarray,  # (P, 3) uint8
+        gauss_normals: Optional[np.ndarray],  # (P, 3) f32 or None
+        total: int,
+    ):
+        self._flat = flat_points
+        self._counts = counts
+        self._cols_u8 = cols_u8
+        self._gauss_normals = gauss_normals
+        self.total = int(total)
+        self._gid = None
+        self._points = None
+
+    # -- helpers ---------------------------------------------------- #
+    @property
+    def has_normals(self) -> bool:
+        return self._gauss_normals is not None
+
+    def _gauss_ids(self) -> np.ndarray:
+        if self._gid is None:
+            self._gid = np.repeat(
+                np.arange(self._counts.shape[0], dtype=np.int64), self._counts
+            )
+        return self._gid
+
+    # -- eager views (tests / cleanup / meshing) --------------------- #
+    @property
+    def points(self) -> np.ndarray:
+        if self._points is None:
+            n3 = 3 * self.total
+            self._points = np.asarray(self._flat[:n3]).reshape(-1, 3)
+        return self._points
+
+    @property
+    def colours(self) -> np.ndarray:
+        return self._cols_u8[self._gauss_ids()].astype(np.float32)
+
+    @property
+    def normals(self) -> Optional[np.ndarray]:
+        if self._gauss_normals is None:
+            return None
+        return self._gauss_normals[self._gauss_ids()]
+
+    # -- streaming consumption --------------------------------------- #
+    def stream_chunks(self, chunk_rows: int = 10**6):
+        """Yield (points f32 (n,3), colours u8 (n,3), normals|None) chunks.
+
+        Chunk i+1's device->host copy is started before chunk i is
+        yielded, so the consumer's disk write overlaps the transfer.
+        """
+        total = self.total
+        if total <= 0:
+            return
+        gid = self._gauss_ids()
+        bounds = list(range(0, total, chunk_rows)) + [total]
+        # Pre-slice device views; start the first two transfers.
+        slices = [
+            self._flat[3 * lo:3 * hi]
+            for lo, hi in zip(bounds[:-1], bounds[1:])
+        ]
+        def _prefetch(a):
+            try:
+                a.copy_to_host_async()
+            except Exception:
+                pass  # sync fallback: np.asarray below still works
+        for s in slices[:2]:
+            _prefetch(s)
+        for i, (lo, hi) in enumerate(zip(bounds[:-1], bounds[1:])):
+            if i + 2 < len(slices):
+                _prefetch(slices[i + 2])
+            pts = np.asarray(slices[i]).reshape(-1, 3)
+            slices[i] = None  # release the device buffer
+            g = gid[lo:hi]
+            cols = self._cols_u8[g]
+            nrm = (
+                self._gauss_normals[g]
+                if self._gauss_normals is not None
+                else None
+            )
+            yield pts, cols, nrm
+
+
 def _scene_render_arrays(gaussians: Gaussians):
     """Padded flat arrays for the renderer (colours stay [0, 1])."""
     p_pad = -(-gaussians.num_gaussians // PAD_GAUSS) * PAD_GAUSS
@@ -282,7 +386,7 @@ def generate_point_cloud_data(
     contributions: Optional[jnp.ndarray] = None,
     seed_offset: int = 0,
     num_devices: int = 1,
-) -> PointCloudData:
+) -> "LazyPointCloud":
     """distribute -> sample -> host-compact (gauss_to_pc.py:277-371 role).
 
     ONE jitted call: magnitudes, keep_mask zeroing (masked Gaussians get a
@@ -355,8 +459,6 @@ def generate_point_cloud_data(
     # colour/normal planes are per-Gaussian and expand on the host via
     # np.repeat over the quota counts (slot-major sampler order).
     total = min(int(sampled.total), int(sampled.points.shape[0]))
-    n3 = 3 * total
-    points = np.asarray(sampled.points.ravel()[:n3]).reshape(-1, 3)
     counts = np.asarray(ppg).astype(np.int64)
     # Clamp the repeat total to the emitted prefix (exact mode trims the
     # final Gaussian's run; over-budget scenes truncate at n_cap).
@@ -366,15 +468,20 @@ def generate_point_cloud_data(
         first = int(np.argmax(over))
         counts[first] -= int(cum[first] - total)
         counts[first + 1:] = 0
-    gid = np.repeat(np.arange(counts.shape[0], dtype=np.int64), counts)
-    colours = np.asarray(cols_u8)[gid].astype(np.float32)
-    normals = (
-        np.asarray(gaussians.normals.ravel())
-        .reshape(-1, 3)[gid]
+    gauss_normals = (
+        np.asarray(gaussians.normals.ravel()).reshape(-1, 3)
         if gaussians.normals is not None
         else None
     )
-    return PointCloudData(points=points, colours=colours, normals=normals)
+    # Positions stay on the device: the 4·3·N-byte transfer is deferred
+    # to LazyPointCloud so the PLY writer can overlap it with disk I/O.
+    return LazyPointCloud(
+        flat_points=sampled.points.ravel(),
+        counts=counts,
+        cols_u8=np.asarray(cols_u8),
+        gauss_normals=gauss_normals,
+        total=total,
+    )
 
 
 def resolve_num_devices(
@@ -418,22 +525,22 @@ def convert_3dgs_to_pc(
 
     transforms = intrinsics = None
     if transform_path is not None:
-        log.info("Loading Camera Poses\n")
+        log.info("Reading camera poses\n")
         transforms, intrinsics = load_transform_data(
             transform_path, skip_rate=settings.camera_skip_rate
         )
 
     mask_images = None
     if mask_path is not None:
-        log.info("Loading Masks\n")
+        log.info("Reading pixel masks\n")
         mask_images = load_image_masks(mask_path)
         for mask_name in mask_images:
             if mask_name not in transforms:
                 log.warn(
-                    f"Mask with name {mask_name} not found in provided transforms"
+                    f"mask '{mask_name}' has no matching frame in the transforms; it will be ignored"
                 )
 
-    log.info("Loading Gaussians from File\n")
+    log.info("Reading Gaussian scene\n")
     with log.phase("load_gaussians"):
         gaussians = load_gaussians(
             input_path, max_sh_degree=settings.max_sh_degree
@@ -447,9 +554,12 @@ def convert_3dgs_to_pc(
 
     if settings.render_colours:
         if transform_path is None and settings.load_sweep is None:
-            raise Exception("Transforms are required to render colours")
+            raise Exception(
+                "colour rendering needs camera transforms: pass "
+                "--transform_path (or --no_render_colours to skip the sweep)"
+            )
 
-        log.info("Rendering Gaussian Colours")
+        log.info("Camera sweep: rendering per-Gaussian colours")
         with log.phase("render_sweep"):
             if settings.load_sweep is not None:
                 from gs2pc.utils.checkpoint import load_accumulators
@@ -539,7 +649,7 @@ def convert_3dgs_to_pc(
                         scene_xyz=gaussians.xyz,
                     )
 
-        log.info(f"\nNumber Initial Gaussians: {gaussians.num_gaussians}")
+        log.info(f"\nGaussians in scene: {gaussians.num_gaussians}")
 
         # Colour assignment + the ENTIRE cull chain as one jitted call.
         # Culled Gaussians stay in place with keep_mask=False (fixed shapes,
@@ -571,11 +681,11 @@ def convert_3dgs_to_pc(
         gaussians, kept = cull_chain(gaussians, acc)
         kept = int(kept)
 
-        log.info(f"\nNumber Gaussians after Culling: {kept}")
+        log.info(f"\nGaussians surviving the cull chain: {kept}")
         if kept < 1:
             raise Exception(
-                "Number of Gaussians after culling is 0, meaning a point "
-                "cloud cannot be generated"
+                "every Gaussian was culled; no points can be sampled "
+                "(relax the cull thresholds or check the camera poses)"
             )
 
         if settings.generate_mesh:
@@ -589,12 +699,12 @@ def convert_3dgs_to_pc(
         gaussians = dataclasses.replace(
             gaussians, colours=gaussians.colours * 255.0
         )
-        log.info("Skipping Rendering Gaussian Colours")
+        log.info("Colour sweep disabled; using stored Gaussian colours")
 
-    log.info("\nEnsuring Gaussians are Positive Semidefinite")
+    log.info("\nClamping covariance eigenvalues to keep every Gaussian PSD")
     gaussians = gaussians.validate_covariances()
 
-    log.info("\nStarting Point Cloud Generation for All Gaussians\n")
+    log.info("\nSampling the full point cloud\n")
     with log.phase("point_sampling"):
         total_point_cloud = generate_point_cloud_data(
             gaussians,
@@ -606,7 +716,7 @@ def convert_3dgs_to_pc(
 
     surface_point_cloud = None
     if settings.generate_mesh and settings.render_colours:
-        log.info("Starting Point Cloud Generation for Surface Gaussians\n")
+        log.info("Sampling the surface (mesh) point cloud\n")
         surf_gaussians = gaussians.add_to_cull(surface_keep_global)
         surf_count = int(jnp.sum(surf_gaussians.keep_mask))
 

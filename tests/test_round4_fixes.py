@@ -1,0 +1,121 @@
+"""Round-4 regression pins.
+
+1. LazyPointCloud streaming output is byte-identical to the eager
+   save_xyz_to_ply path (the round-4 fetch/write overlap must not change
+   a single output byte).
+2. The exact-f32 linalg3 helpers match their matmul/einsum definitions.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from gs2pc.io.ply import save_point_cloud_ply, save_xyz_to_ply
+from gs2pc.pipeline import LazyPointCloud
+
+
+def _make_lazy(n_gauss=37, seed=0, with_normals=True):
+    rng = np.random.default_rng(seed)
+    counts = rng.integers(0, 9, n_gauss).astype(np.int64)
+    total = int(counts.sum())
+    pts = rng.standard_normal((total, 3)).astype(np.float32)
+    cols = rng.integers(0, 256, (n_gauss, 3)).astype(np.uint8)
+    nrm = (
+        rng.standard_normal((n_gauss, 3)).astype(np.float32)
+        if with_normals
+        else None
+    )
+    # flat device buffer longer than needed (sampler pads to n_cap)
+    flat = jnp.asarray(
+        np.concatenate([pts.ravel(), np.zeros(11, np.float32)])
+    )
+    return LazyPointCloud(flat, counts, cols, nrm, total), pts, cols, nrm, counts
+
+
+class TestLazyPointCloud:
+    def test_properties_match_expansion(self):
+        cloud, pts, cols, nrm, counts = _make_lazy()
+        gid = np.repeat(np.arange(counts.shape[0]), counts)
+        np.testing.assert_array_equal(cloud.points, pts)
+        np.testing.assert_array_equal(
+            cloud.colours, cols[gid].astype(np.float32)
+        )
+        np.testing.assert_array_equal(cloud.normals, nrm[gid])
+
+    @pytest.mark.parametrize("with_normals", [True, False])
+    @pytest.mark.parametrize("chunk", [7, 1000])
+    def test_stream_write_byte_identical(self, tmp_path, with_normals, chunk):
+        cloud, *_ = _make_lazy(with_normals=with_normals)
+        p_stream = str(tmp_path / "s.ply")
+        p_eager = str(tmp_path / "e.ply")
+        save_point_cloud_ply(cloud, p_stream, chunk_size=chunk)
+        save_xyz_to_ply(
+            cloud.points, p_eager,
+            rgb_colors=cloud.colours, normals_points=cloud.normals,
+            chunk_size=chunk,
+        )
+        with open(p_stream, "rb") as a, open(p_eager, "rb") as b:
+            assert a.read() == b.read()
+
+    def test_empty_cloud(self, tmp_path):
+        cloud = LazyPointCloud(
+            jnp.zeros(0, jnp.float32), np.zeros(0, np.int64),
+            np.zeros((0, 3), np.uint8), None, 0,
+        )
+        p = str(tmp_path / "z.ply")
+        save_point_cloud_ply(cloud, p)
+        with open(p, "rb") as fh:
+            data = fh.read()
+        assert b"element vertex 0" in data
+
+    def test_plain_tuple_fallback(self, tmp_path):
+        from gs2pc.pipeline import PointCloudData
+
+        pts = np.arange(12, dtype=np.float32).reshape(4, 3)
+        cols = np.full((4, 3), 9, np.float32)
+        pc = PointCloudData(points=pts, colours=cols, normals=None)
+        p = str(tmp_path / "t.ply")
+        save_point_cloud_ply(pc, p)
+        from gs2pc.io.ply import read_xyz_ply
+
+        back = read_xyz_ply(p)
+        np.testing.assert_array_equal(back[0], pts)
+
+
+class TestLinalg3:
+    def test_affine3_dotrow3(self):
+        rng = np.random.default_rng(1)
+        pts = rng.standard_normal((64, 3)).astype(np.float32)
+        R = rng.standard_normal((3, 3)).astype(np.float32)
+        t = rng.standard_normal(3).astype(np.float32)
+        from gs2pc.ops.linalg3 import affine3, dotrow3
+
+        np.testing.assert_allclose(
+            np.asarray(affine3(jnp.asarray(pts), jnp.asarray(R), jnp.asarray(t))),
+            pts @ R.T + t, rtol=1e-6, atol=1e-6,
+        )
+        np.testing.assert_allclose(
+            np.asarray(dotrow3(jnp.asarray(pts), jnp.asarray(R[0]), float(t[0]))),
+            pts @ R[0] + t[0], rtol=1e-6, atol=1e-6,
+        )
+
+    def test_rot_factors3_bmm33(self):
+        rng = np.random.default_rng(2)
+        R = rng.standard_normal((3, 3)).astype(np.float32)
+        F = rng.standard_normal((17, 3, 3)).astype(np.float32)
+        from gs2pc.ops.linalg3 import bmm33_nt, eig_recompose3, rot_factors3
+
+        np.testing.assert_allclose(
+            np.asarray(rot_factors3(jnp.asarray(R), jnp.asarray(F))),
+            np.einsum("ij,pjk->pik", R, F), rtol=1e-5, atol=1e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(bmm33_nt(jnp.asarray(F), jnp.asarray(F))),
+            F @ np.swapaxes(F, -1, -2), rtol=1e-5, atol=1e-5,
+        )
+        w = rng.standard_normal((17, 3)).astype(np.float32)
+        np.testing.assert_allclose(
+            np.asarray(eig_recompose3(jnp.asarray(F), jnp.asarray(w))),
+            np.einsum("...ij,...j,...kj->...ik", F, w, F),
+            rtol=1e-5, atol=1e-5,
+        )
