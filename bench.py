@@ -43,6 +43,10 @@ import numpy as np
 
 NORTH_STAR_POINTS_PER_S = 10_000_000 / 30.0
 PSNR_GATE_DB = 40.0
+# At-scale accumulator gate (VERDICT r03 #4): max relative error of the
+# per-Gaussian max-contribution / min-surface-distance accumulators (tile
+# vs banded dense oracle) that the cull chain consumes.
+ACC_RELERR_GATE = 0.05
 
 # Per-(pair, pixel) blend FLOP estimate for the MFU figure: power (6),
 # exp (~8), alpha/test (4), colour/depth/invdepth accumulation (10),
@@ -382,15 +386,20 @@ def psnr_vs_oracle(n_gauss, width, height, use_pallas):
         pair_budget=auto_pair_budget(arrays, cameras, cfg)
     )
 
-    tile_img = jax.jit(
+    tile_out = jax.jit(
         lambda a: render_tile_camera(
             *a, cam, cfg, use_pallas=use_pallas,
             calc_surface_distance=True,
-        ).image
+        )
     )(arrays)
-    tile_img = np.asarray(tile_img)
+    tile_img = np.asarray(tile_out.image)
+    tile_contrib = np.asarray(tile_out.contrib)
+    tile_surf = np.asarray(tile_out.surf_dist)
 
     # Oracle bands: whole pixel rows per block so bands assemble exactly.
+    # Surface distances ON so the per-Gaussian accumulators the cull
+    # chain consumes (max contribution, min surface distance,
+    # __init__.py:142-158) are gated at scale too — VERDICT r03 #4.
     rows_per_band = max(1, (1 << 16) // wp)
     blk = rows_per_band * wp
     n_blk = -(-(hp * wp) // blk)
@@ -398,24 +407,51 @@ def psnr_vs_oracle(n_gauss, width, height, use_pallas):
 
     @jax.jit
     def band(lo):
-        return render_dense(
+        out = render_dense(
             *arrays, cam, wp, hp,
             chunk=256, pixel_chunk=blk,
-            calc_surface_distance=False, rect_cull=True,
+            calc_surface_distance=True, rect_cull=True,
             block_range=(lo, bands_per_call),
-        ).image
+        )
+        return out.image, out.contrib, out.surf_dist
 
     bands = []
+    o_contrib = np.zeros(tile_contrib.shape, np.float32)
+    o_surf = np.full(tile_surf.shape, FLOAT_MAX_BENCH, np.float32)
     for b in range(n_blk):
-        bands.append(np.asarray(band(b)))
+        img_b, c_b, s_b = band(b)
+        bands.append(np.asarray(img_b))
+        o_contrib = np.maximum(o_contrib, np.asarray(c_b))
+        o_surf = np.minimum(o_surf, np.asarray(s_b))
     oracle = np.concatenate(bands, axis=0)[:hp]
 
     h, w = int(height), int(width)
     diff = tile_img[:h, :w] - oracle[:h, :w]
     mse = float(np.mean(diff.astype(np.float64) ** 2))
-    if mse <= 0.0:
-        return 99.0
-    return float(10.0 * math.log10(1.0 / mse))
+    psnr = 99.0 if mse <= 0.0 else float(10.0 * math.log10(1.0 / mse))
+
+    # Accumulator relative errors.  Contribution in [0, 1]: relative to
+    # max(oracle, 0.05) so dead Gaussians don't blow up the ratio.
+    # Surface distance: compare only where BOTH are finite; count
+    # finiteness mismatches separately (a Gaussian that one path says is
+    # never on-surface but the other says is).
+    c_rel = float(np.max(
+        np.abs(tile_contrib - o_contrib) / np.maximum(o_contrib, 0.05)
+    )) if tile_contrib.size else 0.0
+    fin_t = tile_surf < FLOAT_MAX_BENCH * 0.5
+    fin_o = o_surf < FLOAT_MAX_BENCH * 0.5
+    both = fin_t & fin_o
+    s_rel = float(np.max(
+        np.abs(tile_surf[both] - o_surf[both])
+        / np.maximum(o_surf[both], 0.05)
+    )) if both.any() else 0.0
+    s_mismatch = float(np.mean(fin_t != fin_o))
+    return {
+        "psnr": psnr,
+        "acc_contrib_relerr": c_rel,
+        "acc_surfdist_relerr": s_rel,
+        "acc_surf_finite_mismatch": s_mismatch,
+    }
 
 
 def main():
@@ -554,10 +590,19 @@ def main():
 
     psnr_ok = True
     if want_psnr:
-        psnr = psnr_vs_oracle(n_psnr, width, height, primary_pallas)
-        record["psnr_vs_oracle"] = round(psnr, 2)
+        gate = psnr_vs_oracle(n_psnr, width, height, primary_pallas)
+        record["psnr_vs_oracle"] = round(gate["psnr"], 2)
         record["psnr_gate_db"] = PSNR_GATE_DB
-        psnr_ok = psnr >= PSNR_GATE_DB
+        record["acc_contrib_relerr"] = round(gate["acc_contrib_relerr"], 5)
+        record["acc_surfdist_relerr"] = round(gate["acc_surfdist_relerr"], 5)
+        record["acc_surf_finite_mismatch"] = round(
+            gate["acc_surf_finite_mismatch"], 6
+        )
+        psnr_ok = (
+            gate["psnr"] >= PSNR_GATE_DB
+            and gate["acc_contrib_relerr"] <= ACC_RELERR_GATE
+            and gate["acc_surfdist_relerr"] <= ACC_RELERR_GATE
+        )
         record["psnr_gate_pass"] = psnr_ok
 
     print(json.dumps(record))

@@ -173,7 +173,7 @@ class TestConvert:
         from gs2pc.pipeline import convert_3dgs_to_pc
 
         splat_path, json_path = scene_files
-        with pytest.raises(Exception, match="after culling is 0"):
+        with pytest.raises(Exception, match="every Gaussian was culled"):
             convert_3dgs_to_pc(
                 splat_path, json_path, None,
                 small_settings(min_opacity=0.999999),
