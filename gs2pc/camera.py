@@ -71,7 +71,11 @@ class CameraBatch:
     focal_y: jnp.ndarray  # (N,)
     width: jnp.ndarray  # (N,) int32 true width
     height: jnp.ndarray  # (N,) int32 true height
-    mask: Optional[jnp.ndarray]  # (N, Hmax*Wmax) uint8 or None
+    # Pixel masks ride host->device BIT-PACKED (8 pixels/byte, big
+    # bitorder): a 45-camera 720p mask stack is ~42 MB unpacked — seconds
+    # on a tunnelled device link — vs ~5 MB packed.  Renderers unpack
+    # per camera with unpack_mask_bits (a few cheap vector ops).
+    mask: Optional[jnp.ndarray]  # (N, ceil(Hmax*Wmax/8)) packed bits or None
 
     @property
     def num_cameras(self) -> int:
@@ -194,6 +198,18 @@ def build_camera_batch(
         focal_y=stack("focal_y"),
         width=stack("width"),
         height=stack("height"),
-        mask=None if mask_stack is None else jnp.asarray(mask_stack),
+        mask=(
+            None
+            if mask_stack is None
+            else jnp.asarray(np.packbits(mask_stack, axis=1))
+        ),
     )
     return batch, w_pad, h_pad
+
+
+def unpack_mask_bits(packed: jnp.ndarray, n_pixels: int) -> jnp.ndarray:
+    """Inverse of the np.packbits row packing: (B,) uint8 -> (n_pixels,)
+    uint8 0/1.  Pure broadcast shifts — no gathers."""
+    shifts = jnp.arange(7, -1, -1, dtype=jnp.uint8)  # big bitorder
+    bits = (packed[:, None] >> shifts[None, :]) & jnp.uint8(1)
+    return bits.reshape(-1)[:n_pixels]

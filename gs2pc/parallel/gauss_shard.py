@@ -132,6 +132,11 @@ def _render_one_gauss_sharded(
 ) -> RenderOutput:
     means, covf, opac, cols, alive = arrays
     p_full = means.shape[0]
+    if mask is not None:
+        # CameraBatch masks arrive bit-packed (camera.py).
+        from gs2pc.camera import unpack_mask_bits
+
+        mask = unpack_mask_bits(mask, cfg.width_pad * cfg.height_pad)
     alive_d = _slab_mask(means, camera.viewmatrix, alive, d, n_dev)
 
     # --- slab compaction: P -> P_slab ~ 1.25 P/D ---------------------- #

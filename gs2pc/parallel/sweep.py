@@ -91,6 +91,12 @@ def _render_one(
     use_pallas: bool = False,
 ) -> RenderOutput:
     means, covf, opac, cols, alive = scene_arrays
+    if mask is not None:
+        # CameraBatch masks arrive bit-packed (camera.py); renderers
+        # want per-pixel uint8.
+        from gs2pc.camera import unpack_mask_bits
+
+        mask = unpack_mask_bits(mask, cfg.width_pad * cfg.height_pad)
     if shs is not None:
         # Full view-dependent SH colour per camera (the capability of the
         # reference CUDA kernel's computeColorFromSH path, forward.cu:24-73;
@@ -309,11 +315,20 @@ def render_sweep_chunked(
 
     cameras = pad_cameras(cameras, k)
     acc = init_accumulators(P_num)
+    prev = None  # (done_count, acc) of the dispatch before the one in flight
     for i in range(0, cameras.num_cameras, k):
         acc = step(
             scene_arrays, slice_cameras(cameras, i, k), shs=shs, acc0=acc
         )
-        report_sweep_progress(min(i + k, n), n, acc)
+        # Report the PREVIOUS dispatch now that the next one is enqueued:
+        # reading the pair counter syncs on its dispatch, and syncing on
+        # the one just queued would stall the host between dispatches
+        # (measured ~a tunnel round-trip each on the tunnelled backend).
+        if prev is not None:
+            report_sweep_progress(prev[0], n, prev[1])
+        prev = (min(i + k, n), acc)
+    if prev is not None and n > 1:
+        report_sweep_progress(prev[0], n, prev[1])
     return acc
 
 

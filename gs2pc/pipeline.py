@@ -108,42 +108,43 @@ class LazyPointCloud:
         return self._gauss_normals[self._gauss_ids()]
 
     # -- streaming consumption --------------------------------------- #
-    def stream_chunks(self, chunk_rows: int = 10**6):
+    def stream_chunks(self, chunk_rows: int = 10**6, fetch_threads: int = 4):
         """Yield (points f32 (n,3), colours u8 (n,3), normals|None) chunks.
 
-        Chunk i+1's device->host copy is started before chunk i is
-        yielded, so the consumer's disk write overlaps the transfer.
+        Chunks are fetched by a small thread pool running ahead of the
+        consumer: on the tunnelled TPU link, 3-4 concurrent device->host
+        streams reach ~25 MB/s where one stream gets ~17 (measured), and
+        the consumer's disk write overlaps the in-flight transfers.
+        Yield order is strictly chunk order regardless of completion
+        order, so output bytes are identical to the eager path.
         """
         total = self.total
         if total <= 0:
             return
         gid = self._gauss_ids()
         bounds = list(range(0, total, chunk_rows)) + [total]
-        # Pre-slice device views; start the first two transfers.
         slices = [
             self._flat[3 * lo:3 * hi]
             for lo, hi in zip(bounds[:-1], bounds[1:])
         ]
-        def _prefetch(a):
-            try:
-                a.copy_to_host_async()
-            except Exception:
-                pass  # sync fallback: np.asarray below still works
-        for s in slices[:2]:
-            _prefetch(s)
-        for i, (lo, hi) in enumerate(zip(bounds[:-1], bounds[1:])):
-            if i + 2 < len(slices):
-                _prefetch(slices[i + 2])
-            pts = np.asarray(slices[i]).reshape(-1, 3)
-            slices[i] = None  # release the device buffer
-            g = gid[lo:hi]
-            cols = self._cols_u8[g]
-            nrm = (
-                self._gauss_normals[g]
-                if self._gauss_normals is not None
-                else None
-            )
-            yield pts, cols, nrm
+
+        import concurrent.futures as cf
+
+        workers = max(1, min(fetch_threads, len(slices)))
+        with cf.ThreadPoolExecutor(workers) as pool:
+            futs = [pool.submit(np.asarray, s) for s in slices]
+            for i, (lo, hi) in enumerate(zip(bounds[:-1], bounds[1:])):
+                pts = futs[i].result().reshape(-1, 3)
+                futs[i] = None
+                slices[i] = None  # release the device buffer
+                g = gid[lo:hi]
+                cols = self._cols_u8[g]
+                nrm = (
+                    self._gauss_normals[g]
+                    if self._gauss_normals is not None
+                    else None
+                )
+                yield pts, cols, nrm
 
 
 def _scene_render_arrays(gaussians: Gaussians):
@@ -192,6 +193,17 @@ def run_render_sweep(
         and settings.renderer_type == "tile"
         and settings.render.run_chunk % 128 == 0
     )
+    if not use_pallas and settings.renderer_type == "tile":
+        from gs2pc.utils.platform import is_tpu_backend
+
+        if is_tpu_backend():
+            # The XLA batch blend is the portable/debug path; on TPU it is
+            # ~2.7x slower per camera than the Pallas kernel (DESIGN §7).
+            log.warn(
+                "tile renderer running the portable XLA blend on a TPU "
+                "backend (Pallas disabled or run_chunk not a multiple of "
+                "128) — expect a ~2-3x slower sweep"
+            )
     shs = None
     if settings.sh_colour_eval and gaussians.shs is not None:
         p_pad = arrays[0].shape[0]
@@ -603,15 +615,16 @@ def convert_3dgs_to_pc(
                     # --pair_budget skips the probe.
                     from gs2pc.ops.rasterize import auto_pair_budget
 
-                    cfg = cfg._replace(
-                        pair_budget=auto_pair_budget(
-                            _scene_render_arrays(gaussians), cameras, cfg,
-                            calc_surface_distance=(
-                                settings.surface_distance_std is not None
-                                or settings.generate_mesh
-                            ),
+                    with log.phase("budget_probe"):
+                        cfg = cfg._replace(
+                            pair_budget=auto_pair_budget(
+                                _scene_render_arrays(gaussians), cameras, cfg,
+                                calc_surface_distance=(
+                                    settings.surface_distance_std is not None
+                                    or settings.generate_mesh
+                                ),
+                            )
                         )
-                    )
                     log.info(f"Pair budget (auto): {cfg.pair_budget:,}")
                 # Graceful capacity degradation (the TPU analogue of the
                 # reference's OOM retry-shrink, gauss_render.py:446-465,
