@@ -35,6 +35,11 @@ from gs2pc.ops.quaternion import quat_to_rotmat
 # Knud Thomsen's ellipsoid surface-area exponent (gauss_handler.py:262).
 _KT_P = 1.6075
 
+# Default PSD log-scale floor: eig(Sigma) = exp(2 s) >= epsilon = 1e-7.
+# Shared with the pipeline's host-sampling path, which mirrors
+# validate_covariances on the host-memory scene copy.
+PSD_LOG_FLOOR = 0.5 * float(np.log(1e-7))
+
 
 def upload_f32(x) -> jnp.ndarray:
     """Host->device upload of a float32 array via a FLAT transfer.
@@ -220,7 +225,9 @@ class Gaussians:
         and no Gaussian ever needs culling — the keep-all mask the reference
         would return corresponds to our unchanged ``keep_mask``.
         """
-        floor = 0.5 * float(np.log(epsilon))
+        floor = (
+            PSD_LOG_FLOOR if epsilon == 1e-7 else 0.5 * float(np.log(epsilon))
+        )
         return dataclasses.replace(
             self, log_scales=jnp.maximum(self.log_scales, floor)
         )

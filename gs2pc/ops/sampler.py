@@ -139,7 +139,7 @@ class SampledPoints(NamedTuple):
     """Fixed-capacity sampled point cloud (compact with ``valid``)."""
 
     points: jnp.ndarray  # (N_cap, 3) float32
-    colours: jnp.ndarray  # (N_cap, 3) float32
+    colours: Optional[jnp.ndarray]  # (N_cap, 3) f32; None w/o attributes
     normals: Optional[jnp.ndarray]  # (N_cap, 3) float32 or None
     gaussian_idx: jnp.ndarray  # (N_cap,) int32 source Gaussian
     valid: jnp.ndarray  # (N_cap,) bool — in budget AND accepted
@@ -154,6 +154,7 @@ def sample_points(
     mahalanobis_std: float = 2.0,
     num_attempts: int = 5,
     max_points: int | None = None,
+    with_attributes: bool = True,
 ) -> SampledPoints:
     """Draw every point of the cloud in one fixed-shape pass.
 
@@ -170,6 +171,13 @@ def sample_points(
             exact_num_points needs no extra attempts either).
         max_points: optional hard cap on the emitted count (exact mode
             passes num_points so the output can never overshoot it).
+        with_attributes: when False, skip gathering per-point colours and
+            normals (returned as None) — callers that reconstruct
+            attributes from per-Gaussian planes (pipeline.LazyPointCloud)
+            save the widest part of the row gather.  Positions and
+            gaussian_idx are bit-identical either way: the packed row
+            layout puts xyz/scales/rots first, so dropping the attribute
+            columns changes only the gather width.
 
     Returns:
         SampledPoints with ``valid`` marking accepted, in-budget points.
@@ -217,19 +225,26 @@ def sample_points(
     # Gaussian attributes are packed into one row so the (N_cap,) map
     # costs a single row gather on TPU instead of five.
     z = jnp.where(is_centre[:, None], 0.0, z)
-    cols = [gaussians.xyz, gaussians.log_scales, gaussians.rots, gaussians.colours]
-    if gaussians.normals is not None:
-        cols.append(gaussians.normals)
+    cols = [gaussians.xyz, gaussians.log_scales, gaussians.rots]
+    if with_attributes:
+        cols.append(gaussians.colours)
+        if gaussians.normals is not None:
+            cols.append(gaussians.normals)
     packed = jnp.concatenate(cols, axis=1)[g]
     xyz_g = packed[:, 0:3]
     scales_g = jnp.exp(packed[:, 3:6])
     pts = xyz_g + quat_rotate(packed[:, 6:10], scales_g * z)
 
     valid = in_budget
-    normals = packed[:, 13:16] if gaussians.normals is not None else None
+    colours = packed[:, 10:13] if with_attributes else None
+    normals = (
+        packed[:, 13:16]
+        if with_attributes and gaussians.normals is not None
+        else None
+    )
     return SampledPoints(
         points=pts,
-        colours=packed[:, 10:13],
+        colours=colours,
         normals=normals,
         gaussian_idx=g,
         valid=valid,

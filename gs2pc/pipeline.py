@@ -28,6 +28,7 @@ from gs2pc.parallel.sweep import (
     render_sweep_sharded,
 )
 from gs2pc.utils import log
+from gs2pc.utils.cache import kv_get, kv_put
 from gs2pc.utils.config import GaussPointCloudSettings
 
 AVG_POINTS_PER_GAUSS_FOR_MESH = 25  # gauss_to_pc.py:575
@@ -391,6 +392,44 @@ def surface_keep_mask(
     return min_surface_distance < mean * surface_std
 
 
+def _use_host_sampler(settings, host_scene, num_devices, n_cap) -> bool:
+    """Decide where point positions are sampled (--sampler_device).
+
+    The sampler's INPUT is ~40 B per Gaussian; its OUTPUT is 12 B per
+    point — for typical budgets the positions outweigh the scene.  On a
+    slow device->host link (tunnelled TPU: ~10-20 MB/s measured) it is
+    faster to fetch only the per-Gaussian quotas/colours and re-derive
+    the positions on the host CPU via the SAME jitted sampler (threefry
+    is backend-deterministic; positions differ from the device's by at
+    most f32 fusion noise).  'auto' probes the link once and picks; a
+    local PCIe/ICI attachment measures GB/s and always fetches.
+    """
+    mode = getattr(settings, "sampler_device", "auto")
+    if host_scene is None or num_devices > 1:
+        if mode == "host":
+            log.warn(
+                "--sampler_device host needs a host scene mirror and "
+                "unsharded sampling; sampling on device instead"
+            )
+        return False
+    if mode == "device":
+        return False
+    import jax
+
+    try:
+        jax.devices("cpu")[0]
+    except Exception:
+        return False
+    if mode == "host":
+        return True
+    if jax.default_backend() == "cpu":
+        return False  # the device IS the host; fetches are memcpys
+    from gs2pc.utils.platform import fetch_bandwidth_mbps
+
+    est_fetch_s = 12.0 * n_cap / (fetch_bandwidth_mbps() * 1e6)
+    return est_fetch_s > 2.0
+
+
 def generate_point_cloud_data(
     gaussians: Gaussians,
     num_points: int,
@@ -398,6 +437,7 @@ def generate_point_cloud_data(
     contributions: Optional[jnp.ndarray] = None,
     seed_offset: int = 0,
     num_devices: int = 1,
+    host_scene=None,
 ) -> "LazyPointCloud":
     """distribute -> sample -> host-compact (gauss_to_pc.py:277-371 role).
 
@@ -406,9 +446,18 @@ def generate_point_cloud_data(
     distribution, and the sampler itself.  With num_devices > 1 the
     sampler's point axis is sharded over the mesh (the scene is
     replicated; the per-slot draw/transform is embarrassingly parallel,
-    so XLA inserts no collectives)."""
+    so XLA inserts no collectives).
+
+    ``host_scene`` (io.gaussians_io.HostScene) enables the host-sampling
+    path — see _use_host_sampler."""
     n_cap = int(num_points + max(4096, num_points // 20))
     attempts = 100 if settings.exact_num_points else 5
+
+    if _use_host_sampler(settings, host_scene, num_devices, n_cap):
+        return _generate_point_cloud_host(
+            gaussians, num_points, settings, contributions,
+            seed_offset, host_scene, n_cap, attempts,
+        )
 
     out_shardings = None
     if num_devices > 1:
@@ -496,6 +545,112 @@ def generate_point_cloud_data(
     )
 
 
+def _generate_point_cloud_host(
+    gaussians: Gaussians,
+    num_points: int,
+    settings: GaussPointCloudSettings,
+    contributions: Optional[jnp.ndarray],
+    seed_offset: int,
+    host_scene,
+    n_cap: int,
+    attempts: int,
+) -> "LazyPointCloud":
+    """Host-CPU position sampling (see _use_host_sampler).
+
+    The accelerator computes only what depends on sweep state — quotas
+    (magnitudes x budget distribution under keep_mask) and the rendered
+    uint8 colours — ~5 B per Gaussian over the wire.  Positions are then
+    re-derived on the host CPU by the same ``sample_points`` program from
+    the loader's scene mirror: jax threefry bits are identical across
+    backends, so the draw structure matches the device sampler's exactly;
+    position values can differ from a device sample only in f32
+    fusion/FMA noise (and Gaussian centres, emitted with z = 0, are exact
+    on both).  Per-Gaussian normals, when present, are likewise computed
+    host-side instead of fetched."""
+    import jax
+
+    cpu = jax.devices("cpu")[0]
+
+    @jax.jit
+    def quota_stage(g: Gaussians, contrib):
+        sizes = g.magnitudes(contributions=contrib)
+        if g.keep_mask is not None:
+            sizes = jnp.where(g.keep_mask, sizes, 0.0)
+        ppg = distribute_points(
+            sizes, num_points, mask=g.keep_mask,
+            exact=settings.exact_num_points,
+        )
+        cols_u8 = jnp.clip(g.colours, 0.0, 255.0).astype(jnp.uint8)
+        return ppg, cols_u8
+
+    ppg_d, cols_d = quota_stage(gaussians, contributions)
+    import concurrent.futures as cf
+
+    with cf.ThreadPoolExecutor(2) as pool:
+        f_ppg = pool.submit(np.asarray, ppg_d)
+        cols_u8 = np.asarray(cols_d)
+        counts32 = f_ppg.result()
+
+    # The sampling scene: loader geometry with the PSD clamp the device
+    # copy received in validate_covariances (rots are clamp-invariant).
+    # Dummy colours plane — sample_points(with_attributes=False) never
+    # gathers it, and LazyPointCloud rebuilds colours from cols_u8.
+    from gs2pc.models.gaussians import PSD_LOG_FLOOR
+
+    g_host = Gaussians(
+        xyz=jax.device_put(host_scene.xyz, cpu),
+        log_scales=jax.device_put(
+            np.maximum(host_scene.log_scales, np.float32(PSD_LOG_FLOOR)), cpu
+        ),
+        rots=jax.device_put(host_scene.rots, cpu),
+        opacities=jax.device_put(host_scene.xyz[:, 0].copy(), cpu),
+        colours=jax.device_put(host_scene.xyz, cpu),
+        keep_mask=None,
+    )
+    # Every input below is device_put-committed to the CPU device, which
+    # pins the jitted computations there (no jit(device=...) needed).
+    sample_cpu = jax.jit(
+        lambda k, g, ppg: sample_points(
+            k, g, ppg, n_cap=n_cap,
+            mahalanobis_std=settings.mahalanobis_distance_std,
+            num_attempts=attempts,
+            max_points=num_points if settings.exact_num_points else None,
+            with_attributes=False,
+        )
+    )
+    key = jax.device_put(
+        jax.random.PRNGKey(settings.seed + seed_offset), cpu
+    )
+    sampled = sample_cpu(key, g_host, jax.device_put(counts32, cpu))
+
+    total = min(int(sampled.total), int(sampled.points.shape[0]))
+    counts = counts32.astype(np.int64)
+    cum = np.cumsum(counts)
+    over = cum > total
+    if over.any():
+        first = int(np.argmax(over))
+        counts[first] -= int(cum[first] - total)
+        counts[first + 1:] = 0
+    gauss_normals = None
+    if gaussians.normals is not None:
+        # Same argmin-scale-column derivation as the device's
+        # calculate_normals, on the UNCLAMPED scales it saw (the PSD
+        # clamp can create argmin ties the device never had).
+        g_norm = dataclasses.replace(
+            g_host, log_scales=jax.device_put(host_scene.log_scales, cpu)
+        )
+        gauss_normals = np.asarray(
+            jax.jit(lambda g: g.calculate_normals().normals)(g_norm)
+        )
+    return LazyPointCloud(
+        flat_points=sampled.points.ravel(),
+        counts=counts,
+        cols_u8=cols_u8,
+        gauss_normals=gauss_normals,
+        total=total,
+    )
+
+
 def resolve_num_devices(
     num_devices: int, settings: GaussPointCloudSettings
 ) -> tuple[int, GaussPointCloudSettings]:
@@ -518,6 +673,49 @@ def resolve_num_devices(
             )
             settings = settings._replace(shard_axis="cams")
     return num_devices, settings
+
+
+def _budget_probe_key(
+    input_path, transforms, intrinsics, settings, cfg
+) -> Optional[str]:
+    """Cache key for the auto-budget coverage probe, or None when the
+    inputs are not cheaply hashable (no transforms / caching disabled).
+
+    The probe (ops/rasterize.py::auto_pair_budget) depends on the scene
+    geometry, every camera's pose + intrinsics, the tiling parameters,
+    and whether the surface pass disables the adaptive radius.  The key
+    covers all of those via the input FILE fingerprint (loaders are
+    deterministic) plus host-side camera data; a formula-version salt
+    invalidates old entries when the probe's maths change."""
+    if transforms is None:
+        return None
+    try:
+        import hashlib
+
+        from gs2pc.utils.cache import file_fingerprint, resolve_cache_dir
+
+        if resolve_cache_dir() is None:
+            return None
+        h = hashlib.sha1()
+        h.update(b"probe-v1|")
+        h.update(file_fingerprint(input_path).encode())
+        for name in sorted(transforms):
+            h.update(name.encode())
+            h.update(np.asarray(transforms[name], np.float64).tobytes())
+            h.update(repr(list(intrinsics[name])).encode())
+        h.update(
+            repr((
+                settings.colour_resolution,
+                settings.max_sh_degree,
+                cfg.tile,
+                cfg.pair_quantum,
+                settings.surface_distance_std is not None
+                or settings.generate_mesh,
+            )).encode()
+        )
+        return h.hexdigest()
+    except Exception:
+        return None  # unhashable inputs: just run the probe
 
 
 def convert_3dgs_to_pc(
@@ -554,8 +752,11 @@ def convert_3dgs_to_pc(
 
     log.info("Reading Gaussian scene\n")
     with log.phase("load_gaussians"):
-        gaussians = load_gaussians(
-            input_path, max_sh_degree=settings.max_sh_degree
+        # The host mirror feeds the host-sampling path (rows stay
+        # index-aligned: nothing downstream compacts).
+        gaussians, host_scene = load_gaussians(
+            input_path, max_sh_degree=settings.max_sh_degree,
+            return_host=True,
         )
 
     if settings.calculate_normals:
@@ -612,19 +813,33 @@ def convert_3dgs_to_pc(
                     # coverage — the static-shape stand-in for CUDA's
                     # dynamic prefix-sum allocation
                     # (rasterizer_impl.cu:297-322).  An explicit
-                    # --pair_budget skips the probe.
+                    # --pair_budget skips the probe.  The probe is a
+                    # pure function of (scene file, cameras, tiling
+                    # config), so its result is persisted alongside the
+                    # XLA compile cache: repeat conversions of the same
+                    # scene skip the full-scene coverage pass.
                     from gs2pc.ops.rasterize import auto_pair_budget
 
-                    with log.phase("budget_probe"):
-                        cfg = cfg._replace(
-                            pair_budget=auto_pair_budget(
+                    probe_key = _budget_probe_key(
+                        input_path, transforms, intrinsics, settings, cfg
+                    )
+                    budget = (
+                        kv_get("budget_probe", probe_key)
+                        if probe_key is not None
+                        else None
+                    )
+                    if budget is None:
+                        with log.phase("budget_probe"):
+                            budget = auto_pair_budget(
                                 _scene_render_arrays(gaussians), cameras, cfg,
                                 calc_surface_distance=(
                                     settings.surface_distance_std is not None
                                     or settings.generate_mesh
                                 ),
                             )
-                        )
+                        if probe_key is not None:
+                            kv_put("budget_probe", probe_key, int(budget))
+                    cfg = cfg._replace(pair_budget=int(budget))
                     log.info(f"Pair budget (auto): {cfg.pair_budget:,}")
                 # Graceful capacity degradation (the TPU analogue of the
                 # reference's OOM retry-shrink, gauss_render.py:446-465,
@@ -725,6 +940,7 @@ def convert_3dgs_to_pc(
             settings,
             contributions=total_gaussian_contributions,
             num_devices=num_devices,
+            host_scene=host_scene,
         )
 
     surface_point_cloud = None
@@ -745,6 +961,7 @@ def convert_3dgs_to_pc(
                 contributions=total_gaussian_contributions,
                 seed_offset=1,
                 num_devices=num_devices,
+                host_scene=host_scene,
             )
 
     return total_point_cloud, surface_point_cloud

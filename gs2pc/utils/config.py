@@ -82,6 +82,7 @@ class GaussPointCloudSettings(NamedTuple):
     load_sweep: Optional[str] = None  # resume accumulators, skip the sweep
     shard_axis: str = "cams"  # "cams" | "gauss" (depth slabs) | "both" (2-D)
     auto_capacity: bool = False  # grow tile capacities + re-sweep on truncation
+    sampler_device: str = "auto"  # "auto" | "device" | "host" (see pipeline)
     render: RenderConfig = RenderConfig()
 
 
@@ -203,6 +204,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no_compact_pairs", action="store_true", help="Carry full-precision f32 colours through the tile renderer's per-pair tables instead of the default 8-bit-quantized compact rows (the output PLY stores 8-bit colours either way; compact halves the render sweep's per-pair memory traffic)")
     p.add_argument("--no_surface_compact", action="store_true", help="Compute each Gaussian's min surface distance over every pair in its tile runs instead of stopping at the tile's blend early exit (the reference kernel stops the surface pass there too; disabling matches the dense renderer's full-run semantics at the cost of extra render-sweep time)")
     p.add_argument("--profile_dir", type=str, default=None, help="Write a jax.profiler trace of the conversion to this directory (view with TensorBoard/XProf)")
+    p.add_argument("--sampler_device", type=str, default="auto", choices=["auto", "device", "host"], help="Where point positions are sampled: 'device' samples on the accelerator and fetches the positions; 'host' re-derives them on the host CPU from the loaded scene (fetching only per-Gaussian quotas/colours — wins when the device->host link is slow); 'auto' probes the link bandwidth once and picks")
     return p
 
 
@@ -309,6 +311,7 @@ def settings_from_args(args: argparse.Namespace) -> GaussPointCloudSettings:
         load_sweep=args.load_sweep,
         shard_axis=args.shard_axis,
         auto_capacity=args.auto_capacity,
+        sampler_device=args.sampler_device,
         render=RenderConfig(
             slots_per_gaussian=args.tile_slots,
             slots_small=args.tile_slots_small,

@@ -58,6 +58,43 @@ def is_tpu_backend() -> bool:
     return plat in _TPU_PLATFORMS or "tpu" in kind
 
 
+_FETCH_BW: float | None = None
+
+
+def fetch_bandwidth_mbps(probe_mb: float = 2.0) -> float:
+    """Measured device->host bandwidth in MB/s, cached per process.
+
+    One-time cost: transfers ``probe_mb`` of device data once (fractions
+    of a second even on a slow tunnelled link; microseconds on a local
+    PCIe device).  The pipeline uses this to decide whether to fetch
+    sampled point positions from the device or re-derive them host-side
+    (pipeline.py host-sampling path): tunnelled links measure ~10-20
+    MB/s where local attachments measure GB/s.
+    """
+    global _FETCH_BW
+    if _FETCH_BW is not None:
+        return _FETCH_BW
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    try:
+        n = int(probe_mb * 1e6 / 4)
+        # iota, not zeros: all-zero buffers can compress or fast-path on
+        # some transports and overstate real bandwidth.
+        x = jax.jit(lambda: jnp.arange(n, dtype=jnp.float32) * 1.000001)()
+        np.asarray(x.ravel()[0:1])  # exclude compile+execute from timing
+        t0 = time.perf_counter()
+        np.asarray(x)
+        dt = max(time.perf_counter() - t0, 1e-9)
+        _FETCH_BW = (n * 4 / 1e6) / dt
+    except Exception:
+        _FETCH_BW = float("inf")  # probe failure: assume fast, fetch
+    return _FETCH_BW
+
+
 def fetch_sync(out) -> None:
     """Honest device sync: fetch one element of one output leaf.
 
