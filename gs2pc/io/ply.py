@@ -314,8 +314,10 @@ def save_xyz_to_ply(
             ("red", "u1"), ("green", "u1"), ("blue", "u1"),
         ]
 
+    from gs2pc.io.fastwrite import open_fast_writer
+
     num_chunks = (total + chunk_size - 1) // chunk_size
-    with open(filename, "wb") as fh:
+    with open_fast_writer(filename) as fh:
         fh.write(header.encode("utf-8"))
         for i in range(num_chunks):
             lo, hi = i * chunk_size, min((i + 1) * chunk_size, total)
@@ -375,6 +377,17 @@ def save_point_cloud_ply(
         )
         return
 
+    # Host-resident points: the native writer expands colours/normals from
+    # the per-Gaussian planes inside its pack threads — no host gather or
+    # python struct assembly at all.
+    planes_fn = getattr(cloud, "native_planes", None)
+    if planes_fn is not None:
+        planes = planes_fn()
+        if planes is not None and _native_write_expand(
+            planes, cloud.total, filename, chunk_size
+        ):
+            return
+
     with_normals = cloud.has_normals
     if with_normals:
         dtype = [
@@ -387,7 +400,9 @@ def save_point_cloud_ply(
             ("x", "<f4"), ("y", "<f4"), ("z", "<f4"),
             ("red", "u1"), ("green", "u1"), ("blue", "u1"),
         ]
-    with open(filename, "wb") as fh:
+    from gs2pc.io.fastwrite import open_fast_writer
+
+    with open_fast_writer(filename) as fh:
         fh.write(_ply_header(cloud.total, with_normals))
         for pts, cols, nrm in stream(chunk_size):
             vertex = np.zeros(pts.shape[0], dtype=dtype)
@@ -434,6 +449,33 @@ def _native_write(xyz, filename, rgb, normals, chunk_size) -> bool:
         xyz32.ctypes.data_as(ctypes.c_void_p),
         nrm_ptr,
         rgb8.ctypes.data_as(ctypes.c_void_p),
+        int(chunk_size),
+    )
+    return rc == 0
+
+
+def _native_write_expand(planes, total, filename, chunk_size) -> bool:
+    """Expand-write via C++ (LazyPointCloud planes); False -> fallback."""
+    try:
+        from gs2pc.native import load as load_native
+
+        lib = load_native()
+    except Exception:  # noqa: BLE001
+        return False
+    if lib is None:
+        return False
+
+    import ctypes
+
+    pts, counts, cols, nrm = planes
+    rc = lib.gs2pc_write_ply_expand(
+        filename.encode(),
+        int(total),
+        pts.ctypes.data_as(ctypes.c_void_p),
+        counts.ctypes.data_as(ctypes.c_void_p),
+        int(counts.shape[0]),
+        cols.ctypes.data_as(ctypes.c_void_p),
+        None if nrm is None else nrm.ctypes.data_as(ctypes.c_void_p),
         int(chunk_size),
     )
     return rc == 0

@@ -61,6 +61,17 @@ def load() -> Optional[ctypes.CDLL]:
             ctypes.c_void_p,
             ctypes.c_int64,
         ]
+        lib.gs2pc_write_ply_expand.restype = ctypes.c_int
+        lib.gs2pc_write_ply_expand.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_int64,  # total points
+            ctypes.c_void_p,  # pts f32 (total, 3)
+            ctypes.c_void_p,  # counts i64 (P,)
+            ctypes.c_int64,  # P
+            ctypes.c_void_p,  # cols u8 (P, 3)
+            ctypes.c_void_p,  # normals f32 (P, 3) | NULL
+            ctypes.c_int64,  # chunk_size
+        ]
         lib.gs2pc_deinterleave_f32.restype = ctypes.c_int
         lib.gs2pc_deinterleave_f32.argtypes = [
             ctypes.c_char_p,

@@ -108,6 +108,39 @@ class LazyPointCloud:
             return None
         return self._gauss_normals[self._gauss_ids()]
 
+    def native_planes(self):
+        """Planes for the native expand-writer, or None.
+
+        Only offered when the point buffer is host-resident (the
+        host-sampling path, or a CPU backend): the native writer then
+        expands colours/normals from the per-Gaussian planes inside its
+        pack threads (gs2pc/native/plyio.cpp::gs2pc_write_ply_expand),
+        replacing the serial host gather + struct pack of the streaming
+        path.  On-device buffers return None — the threaded streaming
+        fetch overlaps the transfer instead.
+        """
+        try:
+            devs = getattr(self._flat, "devices", None)
+            if devs is None or any(
+                d.platform != "cpu" for d in devs()
+            ):
+                return None
+        except Exception:
+            return None
+        pts = np.asarray(self._flat[: 3 * self.total]).reshape(-1, 3)
+        if not pts.flags["C_CONTIGUOUS"]:
+            pts = np.ascontiguousarray(pts)
+        counts = np.ascontiguousarray(self._counts, np.int64)
+        if int(counts.sum()) != self.total:
+            return None
+        cols = np.ascontiguousarray(self._cols_u8, np.uint8)
+        nrm = (
+            np.ascontiguousarray(self._gauss_normals, np.float32)
+            if self._gauss_normals is not None
+            else None
+        )
+        return pts, counts, cols, nrm
+
     # -- streaming consumption --------------------------------------- #
     def stream_chunks(self, chunk_rows: int = 10**6, fetch_threads: int = 4):
         """Yield (points f32 (n,3), colours u8 (n,3), normals|None) chunks.
