@@ -329,6 +329,8 @@ def run_e2e(ply, tj, mask_dir, settings, out_path):
     return {
         "t_total": t_total,
         "t_load": ph.get("load_gaussians", 0.0),
+        "t_parse": ph.get("scene_parse", 0.0),
+        "t_upload": ph.get("scene_upload", 0.0),
         # budget_probe is nested inside render_sweep; report the sweep
         # proper and the probe separately (VERDICT r03 weak #3: the
         # per-camera sweep rate was inflated by the probe's hidden cost).
@@ -561,6 +563,8 @@ def main():
         "t_total_s": round(steady["t_total"], 3),
         "t_cold_s": round(cold["t_total"], 3),
         "t_load_s": round(steady["t_load"], 3),
+        "t_parse_s": round(steady["t_parse"], 3),
+        "t_upload_s": round(steady["t_upload"], 3),
         "t_probe_s": round(steady["t_probe"], 3),
         "t_sweep_s": round(steady["t_sweep"], 3),
         "t_sample_s": round(steady["t_sample"], 3),

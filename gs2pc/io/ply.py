@@ -154,13 +154,19 @@ def _read_binary_list_element(fh, elem: PlyElement, endian: str) -> None:
 # Gaussian scene loading
 # --------------------------------------------------------------------- #
 
-def load_ply_gaussians(path: str, max_sh_degree: int = 3):
+def load_ply_gaussians(path: str, max_sh_degree: int = 3, plane_hook=None):
     """Load 3DGS Gaussians from .ply (parity: gauss_dataloader.py:16-82).
 
     Returns numpy arrays (host; the pipeline moves them to device):
         xyz (P,3) f32, log_scales (P,3) f32, rots (P,4) f32 normalised,
         colours (P,3) f32 in [0,1], opacities (P,) f32 sigmoided,
         shs (P,3,K) f32 or None.
+
+    ``plane_hook(name, array)`` is called the moment each plane is
+    finalised (names: xyz, opacities, colours, log_scales, rots, shs) so
+    a caller can start its host->device transfer while the remaining
+    columns are still being extracted — on a ~20 MB/s tunnelled TPU the
+    wire time dominates and the parse hides underneath it.
     """
     elements = read_ply(path)
     vertex = next(iter(elements.values()))
@@ -171,12 +177,16 @@ def load_ply_gaussians(path: str, max_sh_degree: int = 3):
         axis=1,
     ).astype(np.float32)
     n = xyz.shape[0]
+    if plane_hook is not None:
+        plane_hook("xyz", xyz)
 
     if "opacity" in props:
         raw_op = np.asarray(vertex["opacity"], np.float32).reshape(-1)
         opacities = 1.0 / (1.0 + np.exp(-raw_op))  # sigmoid (gauss_dataloader.py:76)
     else:
         opacities = np.ones(n, np.float32)
+    if plane_hook is not None:
+        plane_hook("opacities", opacities)
 
     shs = None
     if "f_dc_0" in props:
@@ -211,6 +221,9 @@ def load_ply_gaussians(path: str, max_sh_degree: int = 3):
         from gs2pc.ops.sh import SH_C0
 
         colours = np.clip(SH_C0 * f_dc + 0.5, 0.0, 1.0).astype(np.float32)
+        if plane_hook is not None:
+            plane_hook("colours", colours)
+            plane_hook("shs", shs)
     elif "red" in props:
         colours = np.stack(
             [
@@ -222,6 +235,8 @@ def load_ply_gaussians(path: str, max_sh_degree: int = 3):
         ).astype(np.float32)
         if (colours > 1.0).any():  # /255 autodetect (gauss_dataloader.py:55-57)
             colours = np.clip(colours / 255.0, 0.0, 1.0)
+        if plane_hook is not None:
+            plane_hook("colours", colours)
     else:
         raise AttributeError(
             "Input ply file does not have valid colours (must have either "
@@ -238,6 +253,8 @@ def load_ply_gaussians(path: str, max_sh_degree: int = 3):
         ).astype(np.float32)
     else:
         log_scales = np.full((n, 3), -8.0, np.float32)
+    if plane_hook is not None:
+        plane_hook("log_scales", log_scales)
 
     rot_names = sorted(
         (p for p in vertex.property_names if p.startswith("rot")),
@@ -248,8 +265,16 @@ def load_ply_gaussians(path: str, max_sh_degree: int = 3):
             np.float32
         )
         rots = rots / np.maximum(np.linalg.norm(rots, axis=1, keepdims=True), 1e-12)
+        # Sign-normalise to w >= 0: q and -q are the same rotation (every
+        # downstream consumer is quadratic in q), and a canonical sign
+        # lets the device transfer drop the w component entirely
+        # (gaussians_io reconstructs w = sqrt(1 - |xyz|^2) device-side,
+        # saving a quarter of the plane's bytes on the slow tunnel).
+        rots = np.where(rots[:, :1] < 0.0, -rots, rots)
     else:
         rots = np.tile(np.array([[1, 0, 0, 0]], np.float32), (n, 1))
+    if plane_hook is not None:
+        plane_hook("rots", rots)
 
     return xyz, log_scales, rots, colours, opacities, shs
 

@@ -451,7 +451,14 @@ def _build_pairs(prep, cfg: TileConfig, sort: bool = True):
             )
             return keys, gid_out, win_dropped.astype(jnp.int32)
         dfull = dbits_t.T.reshape(L)
-        sp, _, sg = jax.lax.sort((packed, dfull, gid_out), num_keys=3)
+        # num_keys=2: gid rides as a PAYLOAD operand, not a third key.
+        # The expansion emits pairs in nondecreasing-gid order (windows
+        # are laid out by the gid-ordered offset cumsum), and lax.sort is
+        # stable, so ties in (packed, dfull) keep gid-ascending order —
+        # the exact permutation the previous 3-key sort produced, minus
+        # one comparator operand per merge step (pinned by
+        # test_round4_fixes.TestSortKeyReduction).
+        sp, _, sg = jax.lax.sort((packed, dfull, gid_out), num_keys=2)
         sorted_keys = jnp.where(
             sp == jnp.uint32(0xFFFFFFFF),
             jnp.int32(_KEY_SENTINEL),

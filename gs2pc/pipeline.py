@@ -616,13 +616,16 @@ def _generate_point_cloud_host(
         cols_u8 = jnp.clip(g.colours, 0.0, 255.0).astype(jnp.uint8)
         return ppg, cols_u8
 
-    ppg_d, cols_d = quota_stage(gaussians, contributions)
     import concurrent.futures as cf
 
-    with cf.ThreadPoolExecutor(2) as pool:
-        f_ppg = pool.submit(np.asarray, ppg_d)
-        cols_u8 = np.asarray(cols_d)
-        counts32 = f_ppg.result()
+    with log.phase("quota_fetch"):
+        ppg_d, cols_d = quota_stage(gaussians, contributions)
+        counts32 = np.asarray(ppg_d)
+    # The colour plane is only consumed by the writer AFTER sampling, so
+    # its ~9 MB device->host crossing (slow tunnel) rides under the CPU
+    # sampling below instead of stacking in front of it.
+    cols_pool = cf.ThreadPoolExecutor(1)
+    cols_fut = cols_pool.submit(np.asarray, cols_d)
 
     # The sampling scene: loader geometry with the PSD clamp the device
     # copy received in validate_covariances (rots are clamp-invariant).
@@ -654,7 +657,9 @@ def _generate_point_cloud_host(
     key = jax.device_put(
         jax.random.PRNGKey(settings.seed + seed_offset), cpu
     )
-    sampled = sample_cpu(key, g_host, jax.device_put(counts32, cpu))
+    with log.phase("host_sample"):
+        sampled = sample_cpu(key, g_host, jax.device_put(counts32, cpu))
+        sampled.points.block_until_ready()
 
     total = min(int(sampled.total), int(sampled.points.shape[0]))
     counts = counts32.astype(np.int64)
@@ -675,6 +680,8 @@ def _generate_point_cloud_host(
         gauss_normals = np.asarray(
             jax.jit(lambda g: g.calculate_normals().normals)(g_norm)
         )
+    cols_u8 = cols_fut.result()
+    cols_pool.shutdown()
     return LazyPointCloud(
         flat_points=sampled.points.ravel(),
         counts=counts,
@@ -769,14 +776,16 @@ def convert_3dgs_to_pc(
     transforms = intrinsics = None
     if transform_path is not None:
         log.info("Reading camera poses\n")
-        transforms, intrinsics = load_transform_data(
-            transform_path, skip_rate=settings.camera_skip_rate
-        )
+        with log.phase("camera_poses"):
+            transforms, intrinsics = load_transform_data(
+                transform_path, skip_rate=settings.camera_skip_rate
+            )
 
     mask_images = None
     if mask_path is not None:
         log.info("Reading pixel masks\n")
-        mask_images = load_image_masks(mask_path)
+        with log.phase("mask_load"):
+            mask_images = load_image_masks(mask_path)
         for mask_name in mask_images:
             if mask_name not in transforms:
                 log.warn(
@@ -790,6 +799,15 @@ def convert_3dgs_to_pc(
         gaussians, host_scene = load_gaussians(
             input_path, max_sh_degree=settings.max_sh_degree,
             return_host=True,
+            # Colour plane crosses the wire as uint8 exactly when the
+            # blend already quantises colours to 8 bits per channel
+            # (compact pair tables) — byte-equivalent outputs, 1/4 the
+            # transfer bytes.
+            compact_colours=(
+                settings.render.compact_pairs
+                and settings.renderer_type == "tile"
+                and settings.render_colours
+            ),
         )
 
     if settings.calculate_normals:
@@ -939,8 +957,9 @@ def convert_3dgs_to_pc(
             g = g.cull_large_gaussians(settings.cull_large_percentage)
             return g, jnp.sum(g.keep_mask)
 
-        gaussians, kept = cull_chain(gaussians, acc)
-        kept = int(kept)
+        with log.phase("cull_chain"):
+            gaussians, kept = cull_chain(gaussians, acc)
+            kept = int(kept)
 
         log.info(f"\nGaussians surviving the cull chain: {kept}")
         if kept < 1:
@@ -963,7 +982,8 @@ def convert_3dgs_to_pc(
         log.info("Colour sweep disabled; using stored Gaussian colours")
 
     log.info("\nClamping covariance eigenvalues to keep every Gaussian PSD")
-    gaussians = gaussians.validate_covariances()
+    with log.phase("psd_validate"):
+        gaussians = gaussians.validate_covariances()
 
     log.info("\nSampling the full point cloud\n")
     with log.phase("point_sampling"):

@@ -187,3 +187,113 @@ class TestLinalg3:
             np.einsum("...ij,...j,...kj->...ik", F, w, F),
             rtol=1e-5, atol=1e-5,
         )
+
+
+class TestFusedSceneUpload:
+    """create_fused (one-transfer upload) is bitwise create (round 4:
+    the tunnelled transport charges ~0.4 s per transfer, so the loader
+    fuses the five scene planes into one flat buffer)."""
+
+    def test_fused_equals_create(self):
+        import jax.numpy as jnp
+
+        from gs2pc.models.gaussians import Gaussians
+
+        rng = np.random.default_rng(7)
+        n = 1000
+        xyz = rng.standard_normal((n, 3)).astype(np.float32)
+        ls = rng.standard_normal((n, 3)).astype(np.float32)
+        rots = rng.standard_normal((n, 4)).astype(np.float32)
+        cols = rng.random((n, 3)).astype(np.float32)
+        op = rng.random(n).astype(np.float32)
+        shs = rng.standard_normal((n, 3, 16)).astype(np.float32)
+
+        for sh in (None, shs):
+            a = Gaussians.create(xyz, ls, rots, cols, op, shs=sh)
+            b = Gaussians.create_fused(xyz, ls, rots, cols, op, shs=sh)
+            for name in ("xyz", "log_scales", "rots", "colours", "opacities"):
+                np.testing.assert_array_equal(
+                    np.asarray(getattr(a, name)), np.asarray(getattr(b, name)),
+                    err_msg=name,
+                )
+            if sh is None:
+                assert b.shs is None
+            else:
+                np.testing.assert_array_equal(np.asarray(a.shs), np.asarray(b.shs))
+            assert bool(jnp.all(b.keep_mask))
+            assert b.opacities.shape == (n,)
+
+
+class TestSortKeyReduction:
+    """The 2-key stable pair sort equals the 3-key sort (round 4: gid is
+    a payload — stability supplies the gid tiebreak because the expansion
+    emits pairs in nondecreasing-gid order)."""
+
+    def test_stable_two_key_matches_three_key(self):
+        import jax
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(11)
+        L = 4096
+        # Engineer heavy ties: few distinct packed keys and depths.
+        packed = jnp.asarray(
+            rng.integers(0, 7, L).astype(np.uint32) << 20
+        )
+        dfull = jnp.asarray(rng.integers(0, 5, L).astype(np.int32))
+        # Payload in NONDECREASING order — the expansion's emit order.
+        gid = jnp.asarray(np.sort(rng.integers(0, 999, L)).astype(np.int32))
+
+        s2 = jax.lax.sort((packed, dfull, gid), num_keys=2)
+        s3 = jax.lax.sort((packed, dfull, gid), num_keys=3)
+        for a, b in zip(s2, s3):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestCompactSceneTransfer:
+    """Wire-size reductions in the .ply loader (round 4): quaternion w
+    reconstruction and uint8 colour crossing."""
+
+    def test_rots_w_reconstruction(self):
+        import jax.numpy as jnp
+
+        from gs2pc.io.gaussians_io import _rots_from_xyz3
+
+        rng = np.random.default_rng(5)
+        q = rng.standard_normal((500, 4)).astype(np.float32)
+        q /= np.linalg.norm(q, axis=1, keepdims=True)
+        q = np.where(q[:, :1] < 0, -q, q)  # the parser's sign convention
+        rec = np.asarray(_rots_from_xyz3(jnp.asarray(q[:, 1:4])))
+        assert np.abs(rec - q).max() < 2e-4
+        # near-180-degree rotations (w ~ 0) stay finite and unit-norm
+        q2 = q.copy()
+        q2[:, 0] = 1e-4
+        q2 /= np.linalg.norm(q2, axis=1, keepdims=True)
+        rec2 = np.asarray(_rots_from_xyz3(jnp.asarray(q2[:, 1:4])))
+        assert np.isfinite(rec2).all()
+        assert np.abs(np.linalg.norm(rec2, axis=1) - 1).max() < 1e-3
+
+    def test_loader_compact_vs_exact(self, tmp_path):
+        """compact_colours loader output: colours quantised exactly as
+        the compact blend table would; geometry identical."""
+        from tests.test_io import write_3dgs_ply
+
+        from gs2pc.io.gaussians_io import load_gaussians
+
+        path = str(tmp_path / "scene.ply")
+        write_3dgs_ply(path, n=257, seed=3)
+        a = load_gaussians(path, compact_colours=False)
+        b = load_gaussians(path, compact_colours=True)
+        np.testing.assert_array_equal(np.asarray(a.xyz), np.asarray(b.xyz))
+        np.testing.assert_array_equal(
+            np.asarray(a.log_scales), np.asarray(b.log_scales)
+        )
+        np.testing.assert_allclose(
+            np.asarray(a.rots), np.asarray(b.rots), atol=2e-4
+        )
+        ca = np.asarray(a.colours)
+        cb = np.asarray(b.colours)
+        expect = np.clip(ca * np.float32(255.0), 0, 255).astype(np.uint8)
+        np.testing.assert_array_equal(
+            (cb * 255.0).round().astype(np.uint8), expect
+        )
+        assert np.abs(ca - cb).max() <= 1.0 / 255.0

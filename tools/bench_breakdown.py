@@ -105,7 +105,12 @@ def main():
             num_tiles_pad=cfg.num_tiles_pad, run_cap=cfg.run_cap,
             run_chunk=cfg.run_chunk,
         )
-        return pairs.total + pairs.gid[0]
+        # Consume the full pair table (a strided sample XLA cannot DCE) —
+        # the table build IS this stage's cost.
+        return (
+            pairs.total + pairs.gid[0]
+            + pairs.pair_tab[:, :: 4097].sum() + pairs.counts.sum()
+        )
 
     t_al = timed(jax.jit(aligned), *arrays)
     print(f"  + aligned pair build (pallas):        {t_al*1000:8.1f} ms/cam")
@@ -122,6 +127,19 @@ def main():
             print(
                 f"full sweep ({blend:6}, surface={surf!s:5}):  {t*1000:8.1f} ms/cam"
             )
+
+    # Masked variant (pallas, surface) — the e2e bench runs with masks on,
+    # and the mask -> tile_live path has its own cost.
+    cameras_m, _, _ = bench.make_cameras(
+        args.cams, args.width, args.height, with_masks=True
+    )
+    sweep_m = jax.jit(
+        lambda a, c: render_sweep(
+            a, c, cfg, calc_surface_distance=True, use_pallas=True
+        )
+    )
+    t = timed(sweep_m, arrays, cameras_m) / args.cams
+    print(f"full sweep (pallas, surface, masks):    {t*1000:8.1f} ms/cam")
 
     n_cap = args.points + args.points // 20
     contrib = jnp.abs(jax.random.normal(jax.random.PRNGKey(1), (args.gaussians,)))
