@@ -45,6 +45,17 @@ class _DirectWriter:
         self._fill = 0
         self._closed = False
 
+    def _write_all(self, view) -> None:
+        """os.write until every byte lands; short writes (disk full,
+        interrupt mid-block) would otherwise silently corrupt the PLY."""
+        off = 0
+        n = len(view)
+        while off < n:
+            wrote = os.write(self._fd, view[off:])
+            if wrote <= 0:
+                raise OSError(f"short write: {off}/{n} bytes")
+            off += wrote
+
     def write(self, data) -> int:
         data = memoryview(data).cast("B")
         n = len(data)
@@ -55,7 +66,7 @@ class _DirectWriter:
             self._fill += take
             off += take
             if self._fill == self._BUF:
-                os.write(self._fd, self._view)
+                self._write_all(self._view)
                 self._fill = 0
         return n
 
@@ -66,14 +77,14 @@ class _DirectWriter:
         try:
             aligned = self._fill - (self._fill % self._ALIGN)
             if aligned:
-                os.write(self._fd, self._view[:aligned])
+                self._write_all(self._view[:aligned])
             rem = self._fill - aligned
             if rem:
                 import fcntl
 
                 fl = fcntl.fcntl(self._fd, fcntl.F_GETFL)
                 fcntl.fcntl(self._fd, fcntl.F_SETFL, fl & ~os.O_DIRECT)
-                os.write(self._fd, self._view[aligned:self._fill])
+                self._write_all(self._view[aligned:self._fill])
         finally:
             self._view.release()
             self._staging.close()

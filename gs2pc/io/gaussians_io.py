@@ -51,11 +51,33 @@ def _colours_from_u8(c8: jnp.ndarray) -> jnp.ndarray:
     return c8.astype(jnp.float32) / 255.0
 
 
+def _resolve_compact_rots(compact_rots: Optional[bool]) -> bool:
+    """Whether the rots plane crosses the wire as xyz-only (w dropped).
+
+    The drop saves 1/4 of the plane's bytes but the device-side
+    w = sqrt(1 - |xyz|^2) reconstruction injects ~1e-4 relative
+    covariance error on near-180-degree rotations — worth it only on a
+    slow transport (the tunnelled TPU at ~20 MB/s), and an exact-parity
+    run can opt out.  ``GS2PC_COMPACT_UPLOAD`` in {auto,1,0} overrides;
+    auto/unset = drop on TPU backends, full 4-component elsewhere."""
+    env = os.environ.get("GS2PC_COMPACT_UPLOAD", "auto")
+    if env == "1":
+        return True
+    if env == "0":
+        return False
+    if compact_rots is not None:
+        return compact_rots
+    from gs2pc.utils.platform import is_tpu_backend
+
+    return is_tpu_backend()
+
+
 def load_gaussians(
     input_path: str,
     max_sh_degree: int = 3,
     return_host: bool = False,
     compact_colours: bool = False,
+    compact_rots: Optional[bool] = None,
 ):
     """Load a scene; with ``return_host`` also return the HostScene
     mirror (costs host RAM only — the arrays were parsed host-side
@@ -69,27 +91,31 @@ def load_gaussians(
     device arrays are valid immediately (jax tracks the dependency); any
     residual wait lands in the first phase that actually consumes them.
 
-    Wire-size reductions (both lossless for the pipeline's outputs):
-      * quaternions cross as xyz only; w is reconstructed device-side
-        (the parser sign-normalises to w >= 0) — saves 1/4 of the plane;
+    Wire-size reductions:
+      * with ``compact_rots`` (default: TPU backends only; see
+        _resolve_compact_rots) quaternions cross as xyz only and w is
+        reconstructed device-side (the parser sign-normalises to
+        w >= 0) — saves 1/4 of the plane at ~1e-4 worst-case
+        covariance perturbation;
       * with ``compact_colours`` (the pipeline passes its production
-        compact-pair setting) colours cross as uint8 — the EXACT
-        quantisation the compact blend tables apply anyway
-        (ops/rasterize.py::pack_blend_table rgb24), and k/255 * 255
-        truncates back to k for every k, so even unrendered-colour runs
-        write identical bytes.
+        compact-pair setting) colours cross as uint8 quantised
+        round-to-nearest — the EXACT quantisation the compact blend
+        tables apply anyway (ops/rasterize.py::pack_blend_table rgb24),
+        and f32 k/255 * 255 == k exactly for every k, so even
+        unrendered-colour runs write identical bytes.
     """
     from gs2pc.utils import log
 
+    drop_w = _resolve_compact_rots(compact_rots)
     planes: dict[str, object] = {}
     pool = _cf.ThreadPoolExecutor(2)
 
     def _upload(name: str, arr):
-        if name == "rots":
+        if name == "rots" and drop_w:
             return jnp.asarray(np.ascontiguousarray(arr[:, 1:4], np.float32))
         if name == "colours" and compact_colours:
-            c8 = np.clip(
-                arr.astype(np.float32) * np.float32(255.0), 0, 255
+            c8 = np.round(
+                np.clip(arr.astype(np.float32), 0.0, 1.0) * np.float32(255.0)
             ).astype(np.uint8)
             return jnp.asarray(c8)
         return upload_f32(arr)
@@ -121,10 +147,11 @@ def load_gaussians(
             cols_d = got("colours")
             if compact_colours:
                 cols_d = _colours_from_u8(cols_d)
+            rots_d = got("rots")
             gaussians = Gaussians(
                 xyz=got("xyz"),
                 log_scales=got("log_scales"),
-                rots=_rots_from_xyz3(got("rots")),
+                rots=_rots_from_xyz3(rots_d) if drop_w else rots_d,
                 opacities=got("opacities").reshape(-1),
                 colours=cols_d,
                 shs=got("shs") if "shs" in planes else None,
@@ -132,7 +159,11 @@ def load_gaussians(
                 keep_mask=jnp.ones(xyz.shape[0], dtype=bool),
             )
         else:
-            gaussians = Gaussians.create(
+            # .splat path: planes arrive together from the parser, so the
+            # per-plane overlap above does not apply — fuse the five
+            # host->device transfers into one (the tunnelled transport
+            # charges ~0.4 s fixed overhead PER transfer).
+            gaussians = Gaussians.create_fused(
                 xyz, log_scales, rots, colours, opacities, shs=shs
             )
         pool.shutdown(wait=False)

@@ -292,7 +292,12 @@ class TestCompactSceneTransfer:
         )
         ca = np.asarray(a.colours)
         cb = np.asarray(b.colours)
-        expect = np.clip(ca * np.float32(255.0), 0, 255).astype(np.uint8)
+        # Round-to-nearest: the exact quantisation pack_blend_table's
+        # rgb24 lane applies (ops/rasterize.py), so compact-loaded
+        # colours reach the blend identical to compact_colours=False.
+        expect = np.round(
+            np.clip(ca, 0.0, 1.0) * np.float32(255.0)
+        ).astype(np.uint8)
         np.testing.assert_array_equal(
             (cb * 255.0).round().astype(np.uint8), expect
         )

@@ -48,6 +48,14 @@ def main():
         "--pair_budget_log2", type=int, default=0,
         help="Explicit pair budget as a power of two (0 = legacy derivation)",
     )
+    ap.add_argument(
+        "--auto_budget", action="store_true",
+        help="Size the pair budget with the production coverage probe",
+    )
+    ap.add_argument(
+        "--compact", action="store_true",
+        help="Production compact rgb24 pair tables + surface compaction",
+    )
     args = ap.parse_args()
 
     scene = bench.make_scene(args.gaussians).calculate_normals()
@@ -55,6 +63,7 @@ def main():
     cam = cameras.at(0)
     cfg = TileConfig(width_pad=wp, height_pad=hp, slots=16,
                      run_cap=4096, run_chunk=128, tile_batch=128,
+                     compact=args.compact, surface_compact=args.compact,
                      pair_budget=(
                          1 << args.pair_budget_log2
                          if args.pair_budget_log2 else 0
@@ -63,6 +72,11 @@ def main():
         scene.xyz, scene.covariance_factors(), scene.opacities,
         scene.colours, jnp.ones(scene.num_gaussians, bool),
     )
+    if args.auto_budget:
+        cfg = cfg._replace(
+            pair_budget=rasterize.auto_pair_budget(arrays, cameras, cfg)
+        )
+        print(f"auto pair budget: {cfg.pair_budget:,}")
 
     @jax.jit
     def prep_only(means, covf, op, col, alive, surf=False):
@@ -98,7 +112,7 @@ def main():
 
         prep = prep_only(means, covf, op, col, alive)
         P = means.shape[0]
-        table = rasterize.pack_blend_table(prep, col)
+        table = rasterize.pack_blend_table(prep, col, compact=cfg.compact)
         keys, gid, _ = rasterize._build_pairs(prep, cfg)
         pairs = build_aligned_pairs(
             table, keys, gid,
