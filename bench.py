@@ -77,7 +77,34 @@ def peak_flops_for(device) -> float:
     return PEAK_FLOPS_DEFAULT
 
 
-def make_ball_scene(n, seed=0):
+class HostSceneArrays:
+    """Host-numpy scene planes (pre-upload).
+
+    The bench builds its synthetic capture ON THE HOST and writes it to
+    disk; uploading the planes to the device only to fetch them back for
+    the capture write round-trips ~170 MB over the (possibly tunnelled,
+    highly variable) device link — measured eating 10+ minutes of the
+    round-4-style driver budget on a degraded tunnel.  ``to_device()``
+    builds the device ``Gaussians`` only for the stages that actually
+    compute on it (PSNR gate / blend compare)."""
+
+    def __init__(self, xyz, log_scales, rots, colours, opacities):
+        self.xyz = xyz
+        self.log_scales = log_scales
+        self.rots = rots
+        self.colours = colours
+        self.opacities = opacities
+
+    def to_device(self):
+        from gs2pc.models.gaussians import Gaussians
+
+        return Gaussians.create(
+            self.xyz, self.log_scales, self.rots, self.colours,
+            self.opacities,
+        )
+
+
+def make_ball_scene_arrays(n, seed=0):
     """Legacy bench scene: a dense Gaussian ball every camera fully sees.
 
     Pathological by capture standards — every camera's frustum contains
@@ -85,8 +112,6 @@ def make_ball_scene(n, seed=0):
     so it stresses the per-pair machinery ~3x harder than any real
     MipNeRF360-style capture.  Kept selectable (GS2PC_BENCH_SCENE=ball)
     as a worst-case stress config."""
-    from gs2pc.models.gaussians import Gaussians
-
     r = np.random.default_rng(seed)
     quats = r.normal(size=(n, 4)).astype(np.float32)
     quats /= np.linalg.norm(quats, axis=1, keepdims=True)
@@ -95,16 +120,19 @@ def make_ball_scene(n, seed=0):
     log_scales = r.uniform(-6.5, -4.0, (n, 3)).astype(np.float32)
     big = r.uniform(size=n) < 0.1
     log_scales[big] = r.uniform(-4.0, -2.5, (big.sum(), 3)).astype(np.float32)
-    return Gaussians.create(
-        xyz,
-        log_scales,
-        quats,
+    return HostSceneArrays(
+        xyz, log_scales, quats,
         r.uniform(0, 1, (n, 3)).astype(np.float32),
         r.uniform(0.2, 1.0, n).astype(np.float32),
     )
 
 
 def make_scene(n, seed=0, kind=None):
+    """Device ``Gaussians`` bench scene (tools/gate stages)."""
+    return make_scene_arrays(n, seed=seed, kind=kind).to_device()
+
+
+def make_scene_arrays(n, seed=0, kind=None):
     """Default bench scene: capture statistics, not a worst-case ball.
 
     Models a trained MipNeRF360-style export the way the reference is
@@ -118,9 +146,7 @@ def make_scene(n, seed=0, kind=None):
     GS2PC_BENCH_SCENE=ball selects the legacy stress scene."""
     kind = kind or os.environ.get("GS2PC_BENCH_SCENE", "capture")
     if kind == "ball":
-        return make_ball_scene(n, seed)
-
-    from gs2pc.models.gaussians import Gaussians
+        return make_ball_scene_arrays(n, seed)
 
     r = np.random.default_rng(seed)
     n_ground = int(n * 0.42)
@@ -190,7 +216,7 @@ def make_scene(n, seed=0, kind=None):
          r.uniform(0.05, 0.4, n_fill), r.uniform(0.5, 0.9, n_sky)]
     ).astype(np.float32)
     colours = r.uniform(0, 1, (n, 3)).astype(np.float32)
-    return Gaussians.create(xyz, log_scales, quats, colours, opac)
+    return HostSceneArrays(xyz, log_scales, quats, colours, opac)
 
 
 def make_poses(n_cams, width, height, focal_scale=0.9):
@@ -615,7 +641,9 @@ def main():
     pallas_mode = "on" if primary_pallas else "off"
 
     dev = jax.devices()[0]
-    scene = make_scene(n_gauss)
+    # HOST scene arrays: the capture write must not round-trip the scene
+    # over the device link (see HostSceneArrays).
+    scene = make_scene_arrays(n_gauss)
     transforms, intr = make_poses(n_cams, width, height)
 
     tmp = None
@@ -758,9 +786,10 @@ def main():
 
         import jax.numpy as jnp
 
+        scene_d = scene.to_device()
         probe_arrays = (
-            scene.xyz, scene.covariance_factors(), scene.opacities,
-            scene.colours, jnp.ones(scene.num_gaussians, bool),
+            scene_d.xyz, scene_d.covariance_factors(), scene_d.opacities,
+            scene_d.colours, jnp.ones(scene_d.num_gaussians, bool),
         )
         cfg = TileConfig(
             width_pad=wp, height_pad=hp, run_cap=4096, run_chunk=128,
@@ -773,7 +802,9 @@ def main():
             )
         )
         other = not primary_pallas
-        t_other_sweep = time_sweep_only(scene, cameras, cfg, other, calc_surface)
+        t_other_sweep = time_sweep_only(
+            scene_d, cameras, cfg, other, calc_surface
+        )
         record[f"{'pallas' if other else 'xla'}_sweep_s"] = round(
             t_other_sweep, 3
         )
