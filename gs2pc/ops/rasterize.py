@@ -247,7 +247,9 @@ def auto_pair_budget(
     return min(budget, PAIR_BUDGET_CEIL)
 
 
-def _build_pairs(prep, cfg: TileConfig, sort: bool = True):
+def _build_pairs(
+    prep, cfg: TileConfig, sort: bool = True, circle_cull: bool = True
+):
     """Expand Gaussians into tile-sorted (key, gid) pair lists — the exact
     prefix-sum expansion of duplicateWithKeys (rasterizer_impl.cu:69-110)
     on a static pair budget.
@@ -405,32 +407,45 @@ def _build_pairs(prep, cfg: TileConfig, sort: bool = True):
 
     # Circle-vs-tile cull (AdR-Gaussian-style): drop pairs whose tile rect
     # lies entirely beyond the (adaptive) radius — their best-case alpha
-    # is below the blend's 1/255 cutoff, so this culls exactly.
-    px = rt[3][None, :]
-    py = rt[4][None, :]
-    fx = tile_x.astype(jnp.float32) * tile
-    fy = tile_y.astype(jnp.float32) * tile
-    ddx = jnp.clip(px, fx, fx + (tile - 1)) - px
-    ddy = jnp.clip(py, fy, fy + (tile - 1)) - py
-    pair_ok = pair_ok & (ddx * ddx + ddy * ddy <= rt[5][None, :])
+    # is below the blend's 1/255 cutoff, so this culls exactly.  In
+    # full-rect mode (surface distances: adaptive_radius off, r_alpha_sq
+    # is the 3.4e38 sentinel) the test is statically a no-op — callers
+    # pass circle_cull=False and the (Q, G) clip/FMA ops are skipped.
+    if circle_cull:
+        px = rt[3][None, :]
+        py = rt[4][None, :]
+        fx = tile_x.astype(jnp.float32) * tile
+        fy = tile_y.astype(jnp.float32) * tile
+        ddx = jnp.clip(px, fx, fx + (tile - 1)) - px
+        ddy = jnp.clip(py, fy, fy + (tile - 1)) - py
+        pair_ok = pair_ok & (ddx * ddx + ddy * ddy <= rt[5][None, :])
 
     gid_t = jnp.where(pair_ok, jnp.broadcast_to(gid_g[None, :], (Q, G)), P)
     dbits = jax.lax.bitcast_convert_type(rt[6], jnp.int32)  # (G,) depth bits
 
     # Sort key, two regimes (gated on L like the quantum):
-    #  * packed: primary uint32 key (tile | top depth bits) + FULL f32
-    #    depth bits as the secondary operand + gid tiebreak.  The packed
-    #    primary resolves almost every comparison in one u32 compare;
-    #    the full depth bits make the order EXACT — truncating depth to
-    #    the packed low bits alone reordered near-equal-depth splats vs
-    #    the reference's 64-bit [tileID|depth] key
-    #    (rasterizer_impl.cu:311-316) and cost ~20 dB vs the dense
-    #    oracle at production pair densities (alpha blending is order-
-    #    sensitive).  Positive-f32 depth bits are order-isomorphic to
-    #    depth, and the packed prefix is consistent with them, so
-    #    (packed, dbits, gid) sorts exactly as (tile, depth, gid).
+    #  * packed: primary uint32 key (tile | top depth bits) + ONE
+    #    auxiliary uint32 operand packing (next depth bits | gid).  The
+    #    packed primary resolves almost every comparison in one u32
+    #    compare; the aux operand extends the depth order by dlow_bits
+    #    more bits of the positive-f32 pattern and breaks the rest by
+    #    gid — depth order is exact to (depth_bits + dlow_bits) of 32
+    #    bits (FULLY exact whenever that reaches 32; at worst, e.g. an
+    #    8M-Gaussian scene, the last ~3 bits are gid-ordered: swaps only
+    #    between splats whose depths agree to <8 ulps, invisible vs the
+    #    reference's race-ordered atomics and pinned by the at-scale
+    #    PSNR gate).  Truncating to the packed top bits ALONE reordered
+    #    near-equal-depth splats vs the reference's 64-bit [tileID|depth]
+    #    key (rasterizer_impl.cu:311-316) and cost ~20 dB at production
+    #    pair densities — hence the aux depth extension.  TWO sort
+    #    operands move ~2/3 the bytes of the previous
+    #    (packed, dfull, gid) form through every merge pass, and unique
+    #    keys admit an UNSTABLE sort (stability machinery costs ~an
+    #    extra operand).  gid comes back as the aux low bits.
     #  * exact: (tile, depth bits, gid) 3-operand.
-    if L >= (1 << 20):
+    gid_bits = max(int(math.ceil(math.log2(P + 2))), 1)
+    dlow_bits = 32 - gid_bits
+    if L >= (1 << 20) and dlow_bits >= 6:
         tile_bits = max(int(math.ceil(math.log2(cfg.num_tiles_pad + 2))), 1)
         depth_bits = 32 - tile_bits
         tile_key = (tile_y * cfg.grid_w + tile_x).astype(jnp.uint32)
@@ -450,21 +465,30 @@ def _build_pairs(prep, cfg: TileConfig, sort: bool = True):
                 (packed >> depth_bits).astype(jnp.int32),
             )
             return keys, gid_out, win_dropped.astype(jnp.int32)
-        dfull = dbits_t.T.reshape(L)
-        # num_keys=2: gid rides as a PAYLOAD operand, not a third key.
-        # The expansion emits pairs in nondecreasing-gid order (windows
-        # are laid out by the gid-ordered offset cumsum), and lax.sort is
-        # stable, so ties in (packed, dfull) keep gid-ascending order —
-        # the exact permutation the previous 3-key sort produced, minus
-        # one comparator operand per merge step (pinned by
-        # test_round4_fixes.TestSortKeyReduction).
-        sp, _, sg = jax.lax.sort((packed, dfull, gid_out), num_keys=2)
+        # Aux = (next dlow_bits of the depth pattern below the packed
+        # prefix) << gid_bits | gid.  Dead pairs carry gid = P (the
+        # sentinel row) with all-ones depth bits, keeping them ordered
+        # after every live pair of the (nonexistent) sentinel tile.
+        gid_mask = jnp.uint32((1 << gid_bits) - 1)
+        dlow_shift = max(32 - depth_bits - dlow_bits, 0)
+        dlow_mask = jnp.uint32((1 << dlow_bits) - 1)
+        dlow_t = (dbits_t >> dlow_shift) & dlow_mask
+        aux_t = jnp.where(
+            pair_ok,
+            (dlow_t << gid_bits) | gid_t.astype(jnp.uint32),
+            (dlow_mask << gid_bits) | jnp.uint32(P),
+        )
+        aux = aux_t.T.reshape(L)
+        # (packed, aux) pairs are unique — one pair per (tile, gaussian)
+        # — so the unstable sort is still a pure function of the input.
+        sp, sa = jax.lax.sort((packed, aux), num_keys=2, is_stable=False)
         sorted_keys = jnp.where(
             sp == jnp.uint32(0xFFFFFFFF),
             jnp.int32(_KEY_SENTINEL),
             (sp >> depth_bits).astype(jnp.int32),
         )
-        return sorted_keys, sg, win_dropped.astype(jnp.int32)
+        sorted_gid = (sa & gid_mask).astype(jnp.int32)
+        return sorted_keys, sorted_gid, win_dropped.astype(jnp.int32)
 
     keys_t = jnp.where(pair_ok, tile_y * cfg.grid_w + tile_x, _KEY_SENTINEL)
     ranks_t = jnp.broadcast_to(dbits[None, :], (Q, G))
@@ -625,7 +649,11 @@ def render_tile_camera(
         # Window origins pack into 9-bit fields of the expansion table.
         raise ValueError("image edges must stay below 8192 pixels")
 
-    keys, pair_gid, win_dropped = _build_pairs(prep, cfg)
+    # Full-rect mode (surface distances) sets r_alpha_sq to the never-
+    # culls sentinel — skip the circle test's per-pair ops statically.
+    keys, pair_gid, win_dropped = _build_pairs(
+        prep, cfg, circle_cull=not calc_surface_distance
+    )
     L = keys.shape[0]
 
     # Fully-masked tiles produce nothing (invalid pixels blend nothing and

@@ -336,6 +336,76 @@ def test_large_grid_1080p_geometry():
     assert (np.asarray(out.contrib) > 0).sum() > 50
 
 
+class TestAuxPackedSort:
+    def test_production_sort_is_depth_exact_per_tile(self):
+        """The production 2-operand sort (packed tile|top-depth key + one
+        aux operand packing low depth bits | gid) must order every tile's
+        run by EXACT f32 depth with gid breaking exact-depth ties — here
+        gid_bits is small, so the aux covers the full depth pattern and
+        the order must be perfectly (tile, depth-bits, gid)."""
+        from gs2pc.ops.rasterize import _KEY_SENTINEL, _build_pairs
+
+        cam, wp, hp = single_camera(angle=0.7)
+        arrays = _scene_arrays(500, seed=21)
+        cfg = TileConfig(
+            width_pad=wp, height_pad=hp, run_cap=256, run_chunk=64,
+            tile_batch=16, pair_budget=1 << 20,  # forces the packed path
+        )
+        means, covf, op, col, alive = arrays
+        prep = preprocess(
+            means, covf, op, alive, cam.viewmatrix, cam.projmatrix,
+            cam.tanfovx, cam.tanfovy, cam.focal_x, cam.focal_y,
+            cam.width, cam.height, tile=cfg.tile,
+        )
+        keys, gid, _ = jax.jit(
+            lambda p: _build_pairs(p, cfg)
+        )(prep)
+        keys = np.asarray(keys)
+        gid = np.asarray(gid)
+        depth = np.asarray(prep.depth)
+        live = keys != _KEY_SENTINEL
+        assert live.sum() > 500  # a real expansion happened
+        k, g = keys[live], gid[live]
+        d = depth[g]
+        dbits = d.astype(np.float32).view(np.uint32).astype(np.int64)
+        # Lexicographic (tile, depth-bits, gid) must be nondecreasing.
+        same_tile = k[1:] == k[:-1]
+        assert np.all(k[1:] >= k[:-1])
+        assert np.all(~same_tile | (dbits[1:] >= dbits[:-1]))
+        tie = same_tile & (dbits[1:] == dbits[:-1])
+        assert np.all(~tie | (g[1:] > g[:-1]))
+        # One pair per (tile, gaussian): keys are unique within a tile.
+        assert np.all(~same_tile | (dbits[1:] != dbits[:-1]) | (g[1:] != g[:-1]))
+
+    def test_full_rect_mode_keeps_every_rect_pair(self):
+        """circle_cull=False (surface-distance sweeps) must emit the FULL
+        rect pair set — identical pair multiset to circle_cull=True when
+        every circle covers its rect (the sentinel-radius case)."""
+        from gs2pc.ops.rasterize import _KEY_SENTINEL, _build_pairs
+
+        cam, wp, hp = single_camera(angle=0.3)
+        arrays = _scene_arrays(300, seed=5)
+        cfg = TileConfig(
+            width_pad=wp, height_pad=hp, run_cap=256, run_chunk=64,
+            tile_batch=16, pair_budget=1 << 20,
+        )
+        means, covf, op, col, alive = arrays
+        prep = preprocess(
+            means, covf, op, alive, cam.viewmatrix, cam.projmatrix,
+            cam.tanfovx, cam.tanfovy, cam.focal_x, cam.focal_y,
+            cam.width, cam.height, tile=cfg.tile,
+            adaptive_radius=False,  # full-rect mode: circle never culls
+        )
+        k_cull, g_cull, _ = jax.jit(
+            lambda p: _build_pairs(p, cfg, circle_cull=True)
+        )(prep)
+        k_skip, g_skip, _ = jax.jit(
+            lambda p: _build_pairs(p, cfg, circle_cull=False)
+        )(prep)
+        np.testing.assert_array_equal(np.asarray(k_cull), np.asarray(k_skip))
+        np.testing.assert_array_equal(np.asarray(g_cull), np.asarray(g_skip))
+
+
 class TestPairQuantum:
     def test_quantized_expansion_matches_q1(self):
         """Window padding (pair_quantum > 1) never changes the LIVE pair
