@@ -716,6 +716,7 @@ def main():
             "runcap_dropped_live": nd[3] if len(nd) > 3 else nd[2],
             "blend_mfu_est": round(mfu, 5),
             "sampler": _pipeline.LAST_SAMPLER,
+            "sampler_reason": _pipeline.LAST_SAMPLER_REASON,
             "writer": LAST_WRITE_INFO.get("writer"),
             "write_sink": LAST_WRITE_INFO.get("sink"),
         })

@@ -130,8 +130,13 @@ class LazyPointCloud:
             if devs is None:
                 return None
             if any(d.platform != "cpu" for d in devs()):
-                from gs2pc.utils.platform import fetch_bandwidth_mbps
+                from gs2pc.utils.platform import (
+                    fetch_bandwidth_mbps,
+                    is_tunnelled_attachment,
+                )
 
+                if is_tunnelled_attachment():
+                    return None  # variable link: stream + overlap instead
                 est_s = 12.0 * self.total / (fetch_bandwidth_mbps() * 1e6)
                 if est_s > 1.5:
                     return None  # slow link: stream + overlap instead
@@ -376,9 +381,10 @@ TRUNCATION_WARN_FRACTION = 0.005
 LAST_SWEEP_DIAG: Optional[list] = None
 
 # Which sampler path the last generate_point_cloud_data used ("host" |
-# "device") — paired with io.ply.LAST_WRITE_INFO so a bench run records
-# exactly which of the output-path variants produced its t_io.
+# "device") and WHY — paired with io.ply.LAST_WRITE_INFO so a bench run
+# records exactly which of the output-path variants produced its t_io.
 LAST_SAMPLER: Optional[str] = None
+LAST_SAMPLER_REASON: Optional[str] = None
 
 
 def report_truncation(acc: SweepAccumulators) -> tuple[bool, bool]:
@@ -452,6 +458,7 @@ def _use_host_sampler(settings, host_scene, num_devices, n_cap) -> bool:
     most f32 fusion noise).  'auto' probes the link once and picks; a
     local PCIe/ICI attachment measures GB/s and always fetches.
     """
+    global LAST_SAMPLER_REASON
     mode = getattr(settings, "sampler_device", "auto")
     if host_scene is None or num_devices > 1:
         if mode == "host":
@@ -459,22 +466,42 @@ def _use_host_sampler(settings, host_scene, num_devices, n_cap) -> bool:
                 "--sampler_device host needs a host scene mirror and "
                 "unsharded sampling; sampling on device instead"
             )
+        LAST_SAMPLER_REASON = "no-host-scene" if host_scene is None else "sharded"
         return False
     if mode == "device":
+        LAST_SAMPLER_REASON = "forced-device"
         return False
     import jax
 
     try:
         jax.devices("cpu")[0]
-    except Exception:
+    except Exception as e:
+        LAST_SAMPLER_REASON = f"no-cpu-backend:{type(e).__name__}"
         return False
     if mode == "host":
+        LAST_SAMPLER_REASON = "forced-host"
         return True
     if jax.default_backend() == "cpu":
+        LAST_SAMPLER_REASON = "cpu-backend"
         return False  # the device IS the host; fetches are memcpys
-    from gs2pc.utils.platform import fetch_bandwidth_mbps
+    # Tunnelled attachments (the 'axon' PJRT plugin proxies device IO
+    # over a network link) have MINUTE-SCALE throughput variance: probes
+    # measured 60-80 MB/s in one run and the very next run's sustained
+    # stream got 8-15 MB/s, turning the position fetch into the
+    # pipeline's largest slice.  Host sampling re-derives positions from
+    # the loader's mirror at a fetch cost of ~5 B/Gaussian — immune to
+    # the link — so it is the default there.
+    from gs2pc.utils.platform import (
+        fetch_bandwidth_mbps,
+        is_tunnelled_attachment,
+    )
+
+    if is_tunnelled_attachment():
+        LAST_SAMPLER_REASON = "tunnel"
+        return True
 
     est_fetch_s = 12.0 * n_cap / (fetch_bandwidth_mbps() * 1e6)
+    LAST_SAMPLER_REASON = f"probe:{est_fetch_s:.2f}s"
     return est_fetch_s > 2.0
 
 

@@ -18,6 +18,14 @@ def honour_platform_env() -> None:
 
     Must run before the first jax computation (backend init is sticky).
     No-op when the variable is unset or jax is unavailable.
+
+    A non-cpu request keeps ``cpu`` registered as a SECONDARY backend:
+    ``jax.config`` platform pinning (unlike the plain env var) restricts
+    the backend set, and pinning e.g. ``axon`` alone silently removed
+    the CPU backend the host-sampling path runs on (``jax.devices("cpu")``
+    raised and the pipeline fell back to device sampling + a 10+ s
+    position fetch).  The default backend stays the requested one —
+    appending cpu changes availability, never selection.
     """
     want = os.environ.get("JAX_PLATFORMS", "")
     if not want:
@@ -25,7 +33,10 @@ def honour_platform_env() -> None:
     try:
         import jax
 
-        jax.config.update("jax_platforms", want)
+        names = [p.strip() for p in want.split(",") if p.strip()]
+        if "cpu" not in names:
+            names.append("cpu")
+        jax.config.update("jax_platforms", ",".join(names))
     except Exception:
         pass
 
@@ -56,6 +67,26 @@ def is_tpu_backend() -> bool:
     plat = (getattr(dev, "platform", "") or "").lower()
     kind = (getattr(dev, "device_kind", "") or "").lower()
     return plat in _TPU_PLATFORMS or "tpu" in kind
+
+
+def is_tunnelled_attachment() -> bool:
+    """True when device IO is proxied over a network tunnel.
+
+    The 'axon' PJRT plugin registers its devices with platform 'tpu'
+    (so device.platform cannot distinguish it from a local chip); its
+    name appears in the client's platform_version string.  Tunnelled
+    links have minute-scale throughput variance, so large-transfer
+    policy decisions must not trust a point-in-time bandwidth probe
+    there."""
+    try:
+        import jax
+
+        ver = getattr(
+            jax.devices()[0].client, "platform_version", ""
+        ) or ""
+        return "axon" in ver.lower()
+    except Exception:
+        return False
 
 
 _FETCH_BW: float | None = None
