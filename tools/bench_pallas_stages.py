@@ -50,14 +50,18 @@ def main():
     ap.add_argument("--auto_budget", action="store_true",
                     help="size the pair budget from the coverage probe "
                          "exactly as the production pipeline does")
+    ap.add_argument("--run_chunk", type=int, default=128,
+                    help="pairs per kernel chunk (DMA slab width)")
+    ap.add_argument("--surface_compact", action="store_true")
     args = ap.parse_args()
 
     scene = bench.make_scene(args.gaussians)
     cameras, wp, hp = bench.make_cameras(1, args.width, args.height)
     cam = cameras.at(0)
     cfg = TileConfig(width_pad=wp, height_pad=hp, slots=16,
-                     run_cap=4096, run_chunk=128, tile_batch=128,
+                     run_cap=4096, run_chunk=args.run_chunk, tile_batch=128,
                      compact=args.compact,
+                     surface_compact=args.surface_compact,
                      pair_budget=(1 << args.pair_budget_log2
                                   if args.pair_budget_log2 else 0))
     arrays = (
@@ -119,6 +123,7 @@ def main():
             grid_w=cfg.grid_w, width_pad=cfg.width_pad,
             run_chunk=cfg.run_chunk, white_bkgd=True,
             run_cap_hint=cfg.run_cap, with_surface=args.surface,
+            surface_compact=cfg.surface_compact,
         )
 
     t, blend_out = timed(stage_blend, pairs)
