@@ -456,9 +456,9 @@ def _build_pairs(
             (tile_key << depth_bits) | dq,
             jnp.uint32(0xFFFFFFFF),
         )
-        packed = packed_t.T.reshape(L)
-        gid_out = gid_t.T.reshape(L)
         if not sort:  # diagnostics only (tools/bench_breakdown.py)
+            packed = packed_t.T.reshape(L)
+            gid_out = gid_t.T.reshape(L)
             keys = jnp.where(
                 packed == jnp.uint32(0xFFFFFFFF),
                 jnp.int32(_KEY_SENTINEL),
@@ -478,9 +478,13 @@ def _build_pairs(
             (dlow_t << gid_bits) | gid_t.astype(jnp.uint32),
             (dlow_mask << gid_bits) | jnp.uint32(P),
         )
-        aux = aux_t.T.reshape(L)
-        # (packed, aux) pairs are unique — one pair per (tile, gaussian)
-        # — so the unstable sort is still a pure function of the input.
+        # NO group-major transpose before the sort: (packed, aux) keys
+        # are unique (one pair per (tile, gaussian)), so the unstable
+        # sort's output is the one sorted sequence REGARDLESS of input
+        # permutation — the (Q, G) arrays flatten as-is, skipping two
+        # full-array minor-dim-4 relayouts that cost real HBM passes.
+        packed = packed_t.reshape(L)
+        aux = aux_t.reshape(L)
         sp, sa = jax.lax.sort((packed, aux), num_keys=2, is_stable=False)
         sorted_keys = jnp.where(
             sp == jnp.uint32(0xFFFFFFFF),
