@@ -98,7 +98,9 @@ class HostSceneArrays:
     def to_device(self):
         from gs2pc.models.gaussians import Gaussians
 
-        return Gaussians.create(
+        # Fused single-transfer upload: the tunnelled transport charges
+        # ~0.4 s fixed overhead PER transfer (see Gaussians.create_fused).
+        return Gaussians.create_fused(
             self.xyz, self.log_scales, self.rots, self.colours,
             self.opacities,
         )
@@ -447,6 +449,13 @@ def psnr_vs_oracle(n_gauss, width, height, use_pallas, time_left=None):
         pair_budget=auto_pair_budget(arrays, cameras, cfg)
     )
 
+    # The tile render below is one compile + run that CANNOT be
+    # interrupted (a cold compile runs minutes): refuse to start it
+    # without headroom, so the worst-case deadline overrun stays one
+    # band/compile, well inside the external driver-kill margin.
+    if time_left is not None and time_left() < 60.0:
+        return {"psnr": None, "psnr_coverage": 0.0, "complete": False}
+
     tile_out = jax.jit(
         lambda a: render_tile_camera(
             *a, cam, cfg, use_pallas=use_pallas,
@@ -601,7 +610,10 @@ def main():
     it, and the bench always exits cleanly under its own power — an
     external kill (which can strand the TPU lease) is never needed."""
     t_start = time.monotonic()
-    deadline_s = float(os.environ.get("GS2PC_BENCH_DEADLINE_S", 480))
+    # 420 s leaves ~3 min of margin below a typical external ~10 min
+    # kill for the one uninterruptible step (a cold compile) that may
+    # already be in flight when the deadline trips.
+    deadline_s = float(os.environ.get("GS2PC_BENCH_DEADLINE_S", 420))
 
     def time_left():
         return deadline_s - (time.monotonic() - t_start)
@@ -743,9 +755,12 @@ def main():
 
     # Stage 3: at-scale PSNR + accumulator gate (oracle disk-cached;
     # band rendering stops under the deadline and partial coverage is
-    # reported + persisted for the next run).
+    # reported + persisted for the next run).  The entry threshold
+    # covers the stage's uninterruptible pre-band work (scene build +
+    # budget probe + tile-render compile); psnr_vs_oracle re-checks the
+    # budget before its own compile-heavy steps.
     psnr_ok = True
-    if want_psnr and time_left() > 45.0:
+    if want_psnr and time_left() > 100.0:
         gate = psnr_vs_oracle(
             n_psnr, width, height, primary_pallas, time_left=time_left
         )
@@ -768,12 +783,19 @@ def main():
                 and gate["acc_surf_bad_finite_frac"] <= 0.0
             )
             record["psnr_gate_pass"] = psnr_ok
-        elif gate.get("psnr") is not None:
-            # Partial coverage: PSNR over the covered rows still gates
-            # (a corrupt renderer fails on ANY row subset); accumulator
-            # gates need the full oracle and stay unjudged.
-            psnr_ok = gate["psnr"] >= PSNR_GATE_DB
-            record["psnr_gate_pass"] = psnr_ok
+        elif gate.get("psnr") is not None and gate.get(
+            "psnr_coverage", 0.0
+        ) < 1.0:
+            # Partial coverage: report the covered-row PSNR + coverage,
+            # but emit NO pass verdict — corruption can be spatially
+            # localized (e.g. only the pair-dense central tiles), so a
+            # top-rows subset must not certify the renderer.  A
+            # below-gate partial PSNR IS reported as a failure: rows
+            # that corrupt are decisive evidence even before the rest
+            # of the oracle exists.
+            if gate["psnr"] < PSNR_GATE_DB:
+                psnr_ok = False
+                record["psnr_gate_pass"] = False
         emit()
 
     # Stage 4 (opt-in): the other blend implementation's sweep time on

@@ -286,8 +286,11 @@ def load_ply_gaussians(path: str, max_sh_degree: int = 3, plane_hook=None):
 # Which writer/sink the LAST PLY write used (VERDICT r04 weak #2: the
 # 6.5 s t_io had no record of WHICH of the four write paths engaged).
 # writer: native_expand | native | stream_py | eager_py
-# sink:   direct | buffered  (python paths exact; native paths report the
-#         same probe the C++ DirectSink's open would see)
+# sink:   python paths report the writer object actually used (exact);
+#         native paths report "direct(probed)"/"buffered(probed)" — the
+#         same O_DIRECT open test the C++ DirectSink performs on the
+#         same directory, but not the C++ writer's own decision (which
+#         can additionally fall back on posix_memalign failure).
 LAST_WRITE_INFO: dict = {}
 
 
@@ -320,7 +323,10 @@ def _note_write_path(writer: str, filename: str, fh=None) -> None:
     if fh is not None:
         sink = "direct" if isinstance(fh, _DirectWriter) else "buffered"
     else:
-        sink = "direct" if _probe_direct_io(filename) else "buffered"
+        sink = (
+            "direct(probed)" if _probe_direct_io(filename)
+            else "buffered(probed)"
+        )
     LAST_WRITE_INFO.clear()
     LAST_WRITE_INFO.update({"writer": writer, "sink": sink})
     log.info(f"PLY write path: {writer} ({sink} IO)")

@@ -135,15 +135,22 @@ def fetch_bandwidth_mbps(probe_mb: float = 2.0) -> float:
         return _FETCH_BW
     try:
         bw = _one_probe(probe_mb)
-        if bw > _BW_CONFIRM_MBPS:
-            # Cheap on a genuinely fast link (16 MB in ~20 ms at GB/s);
-            # on a bursty tunnel it costs ~1-2 s ONCE and prevents a
-            # 10+ s serial fetch downstream.  min(): the decision
-            # thresholds care about the worst sustained rate.
-            bw = min(bw, _one_probe(16.0))
-        _FETCH_BW = bw
     except Exception:
         _FETCH_BW = float("inf")  # probe failure: assume fast, fetch
+        return _FETCH_BW
+    if bw > _BW_CONFIRM_MBPS:
+        # Cheap on a genuinely fast link (16 MB in ~20 ms at GB/s);
+        # on a bursty tunnel it costs ~1-2 s ONCE and prevents a
+        # 10+ s serial fetch downstream.  min(): the decision
+        # thresholds care about the worst sustained rate.  A FAILED
+        # confirm keeps the small-probe measurement — a link flaky
+        # enough to drop a 16 MB transfer must not be promoted to
+        # "assume fast".
+        try:
+            bw = min(bw, _one_probe(16.0))
+        except Exception:
+            pass
+    _FETCH_BW = bw
     return _FETCH_BW
 
 

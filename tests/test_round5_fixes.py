@@ -95,13 +95,28 @@ class TestTunnelPolicy:
         monkeypatch.setattr(plat, "is_tunnelled_attachment", lambda: True)
         assert cloud.native_planes() is None
 
+    class _FakeDeviceFlat:
+        """Minimal device-array stand-in: non-cpu devices() + slicing."""
+
+        def __init__(self, data):
+            self._data = np.asarray(data, np.float32)
+
+        def devices(self):
+            class _Dev:
+                platform = "tpu"
+
+            return {_Dev()}
+
+        def __getitem__(self, idx):
+            return self._data[idx]
+
     def test_native_planes_fetches_on_fast_local_link(self, monkeypatch):
+        """Device-resident + NOT tunnelled + fast measured link: the new
+        fast-path must fetch and hand planes to the native writer."""
         from gs2pc import pipeline
         from gs2pc.utils import platform as plat
 
-        import jax.numpy as jnp
-
-        flat = jnp.arange(9, dtype=jnp.float32)  # CPU-resident: devices()=cpu
+        flat = self._FakeDeviceFlat(np.arange(9, dtype=np.float32))
         cloud = pipeline.LazyPointCloud(
             flat_points=flat,
             counts=np.array([2, 1], np.int64),
@@ -110,10 +125,44 @@ class TestTunnelPolicy:
             total=3,
         )
         monkeypatch.setattr(plat, "is_tunnelled_attachment", lambda: False)
+        monkeypatch.setattr(plat, "fetch_bandwidth_mbps", lambda *a: 1e4)
         planes = cloud.native_planes()
         assert planes is not None
         pts, counts, cols, nrm = planes
         assert pts.shape == (3, 3) and counts.sum() == 3
+
+    def test_native_planes_declines_on_slow_measured_link(self, monkeypatch):
+        from gs2pc import pipeline
+        from gs2pc.utils import platform as plat
+
+        flat = self._FakeDeviceFlat(np.arange(3 * 10**7, dtype=np.float32))
+        cloud = pipeline.LazyPointCloud(
+            flat_points=flat,
+            counts=np.full(10**4, 10**3, np.int64),
+            cols_u8=np.zeros((10**4, 3), np.uint8),
+            gauss_normals=None,
+            total=10**7,
+        )
+        monkeypatch.setattr(plat, "is_tunnelled_attachment", lambda: False)
+        # 10M points = 120 MB; 10 MB/s -> est 12 s > 1.5 s threshold.
+        monkeypatch.setattr(plat, "fetch_bandwidth_mbps", lambda *a: 10.0)
+        assert cloud.native_planes() is None
+
+    def test_host_resident_skips_link_checks(self):
+        from gs2pc import pipeline
+
+        import jax.numpy as jnp
+
+        flat = jnp.arange(9, dtype=jnp.float32)  # CPU-resident
+        cloud = pipeline.LazyPointCloud(
+            flat_points=flat,
+            counts=np.array([2, 1], np.int64),
+            cols_u8=np.zeros((2, 3), np.uint8),
+            gauss_normals=None,
+            total=3,
+        )
+        planes = cloud.native_planes()
+        assert planes is not None and planes[0].shape == (3, 3)
 
 
 class TestOracleCache:
