@@ -24,12 +24,21 @@ The reference repo publishes no quantitative numbers (BASELINE.md), so
 ``vs_baseline`` is measured against the north-star target rate derived
 from BASELINE.json: 10M points in 30 s  =>  333,333 points/s.
 
+The bench is BUDGET-SAFE and FAIL-SOFT (VERDICT r04 #1/#5): it prints
+the JSON record after every completed stage (read the LAST line — the
+most complete one; never zero lines after the first conversion), and it
+enforces an internal wall-clock deadline so an external kill is never
+needed.  The PSNR gate's dense-oracle image/accumulators persist in the
+gs2pc cache keyed by scene config; partial band coverage resumes on the
+next run.
+
 Env knobs: GS2PC_BENCH_GAUSSIANS, GS2PC_BENCH_POINTS, GS2PC_BENCH_CAMERAS,
 GS2PC_BENCH_WIDTH, GS2PC_BENCH_HEIGHT, GS2PC_BENCH_PALLAS (auto|1|0),
-GS2PC_BENCH_COMPARE (1 = also time the other blend's sweep, default 1),
+GS2PC_BENCH_COMPARE (1 = also time the other blend's sweep, default 0),
 GS2PC_BENCH_SURFACE, GS2PC_BENCH_MASKS, GS2PC_BENCH_PSNR (default 1),
 GS2PC_BENCH_PSNR_GAUSS (default 1,000,000), GS2PC_BENCH_DIR (capture
-scratch dir; default a TemporaryDirectory).
+scratch dir; default a TemporaryDirectory), GS2PC_BENCH_DEADLINE_S
+(internal wall-clock budget, default 420).
 """
 
 import json

@@ -340,7 +340,11 @@ def report_sweep_progress(done: int, total: int, acc: SweepAccumulators):
     so this costs one scalar transfer, not pipelining."""
     from gs2pc.utils import log
 
-    if total <= 1:
+    if total <= 1 or log.is_quiet():
+        # Quiet mode must skip the WHOLE body: the pair-counter read is
+        # a device->host scalar fetch that syncs the queued dispatch —
+        # on a tunnelled link that is a real round-trip per dispatch,
+        # paid for a line that would be discarded anyway.
         return
     if acc.n_dropped is not None:
         pairs = float(acc.n_dropped[0])

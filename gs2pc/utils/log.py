@@ -21,6 +21,13 @@ def set_quiet(quiet: bool) -> None:
     _QUIET = quiet
 
 
+def is_quiet() -> bool:
+    """For callers whose MESSAGE PREPARATION is itself costly (e.g. a
+    device->host scalar fetch that syncs a dispatch): skip the work, not
+    just the print."""
+    return _QUIET
+
+
 def info(msg: str = "") -> None:
     if not _QUIET:
         print(msg, flush=True)
