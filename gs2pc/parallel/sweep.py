@@ -283,6 +283,40 @@ def _chunk_step(
     )
 
 
+@functools.lru_cache(maxsize=64)
+def _chunk_step_sliced(
+    cfg: TileConfig, renderer, white_bkgd, antialiasing,
+    calc_surface_distance, sh_degree, use_pallas, k: int,
+):
+    """Chunk step that slices its k-camera window INSIDE the jit.
+
+    The host loop previously sliced the camera batch eagerly — ~8 tiny
+    device ops per dispatch, each paying the backend's ~30 ms dispatch
+    floor (over a second across a 45-camera sweep, worse in congested
+    tunnel phases).  Taking the dispatch offset as a TRACED scalar keeps
+    one compiled program for every dispatch while the slicing fuses into
+    the sweep program itself."""
+
+    def run(scene_arrays, cameras_pad, i, shs, acc0):
+        cams = jax.tree.map(
+            lambda x: (
+                jax.lax.dynamic_slice_in_dim(x, i, k, axis=0)
+                if hasattr(x, "shape") else x
+            ),
+            cameras_pad,
+        )
+        return render_sweep(
+            scene_arrays, cams,
+            cfg=cfg, renderer=renderer, white_bkgd=white_bkgd,
+            antialiasing=antialiasing,
+            calc_surface_distance=calc_surface_distance,
+            sh_degree=sh_degree, use_pallas=use_pallas,
+            shs=shs, acc0=acc0,
+        )
+
+    return jax.jit(run)
+
+
 def render_sweep_chunked(
     scene_arrays,
     cameras: CameraBatch,
@@ -306,20 +340,22 @@ def render_sweep_chunked(
     n = cameras.num_cameras
     k = auto_dispatch_cams(cfg, P_num, n, dispatch_cams)
 
-    step = _chunk_step(
-        cfg, renderer, white_bkgd, antialiasing, calc_surface_distance,
-        sh_degree, use_pallas,
-    )
     if k >= n:
+        step = _chunk_step(
+            cfg, renderer, white_bkgd, antialiasing, calc_surface_distance,
+            sh_degree, use_pallas,
+        )
         return step(scene_arrays, cameras, shs=shs)
 
+    step = _chunk_step_sliced(
+        cfg, renderer, white_bkgd, antialiasing, calc_surface_distance,
+        sh_degree, use_pallas, k,
+    )
     cameras = pad_cameras(cameras, k)
     acc = init_accumulators(P_num)
     prev = None  # (done_count, acc) of the dispatch before the one in flight
     for i in range(0, cameras.num_cameras, k):
-        acc = step(
-            scene_arrays, slice_cameras(cameras, i, k), shs=shs, acc0=acc
-        )
+        acc = step(scene_arrays, cameras, jnp.int32(i), shs, acc)
         # Report the PREVIOUS dispatch now that the next one is enqueued:
         # reading the pair counter syncs on its dispatch, and syncing on
         # the one just queued would stall the host between dispatches
