@@ -165,6 +165,46 @@ class TestTunnelPolicy:
         assert planes is not None and planes[0].shape == (3, 3)
 
 
+class TestBenchContract:
+    def test_bench_emits_parseable_records(self, tmp_path):
+        """The driver reads bench.py's LAST stdout line as the round's
+        perf record (round 4 was forfeited to a silent timeout): a tiny
+        CPU run must emit >= 2 JSON lines (cold, steady), the last one
+        carrying the driver-required fields."""
+        import json
+
+        env = dict(os.environ)
+        env.update(
+            JAX_PLATFORMS="cpu",
+            GS2PC_BENCH_GAUSSIANS="8000",
+            GS2PC_BENCH_POINTS="40000",
+            GS2PC_BENCH_CAMERAS="2",
+            GS2PC_BENCH_WIDTH="160",
+            GS2PC_BENCH_HEIGHT="120",
+            GS2PC_BENCH_PSNR="0",  # gate stage covered by TPU runs
+            GS2PC_CACHE_DIR=str(tmp_path / "cache"),
+        )
+        env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py")],
+            env=env, capture_output=True, text=True, timeout=540,
+        )
+        assert out.returncode == 0, out.stderr[-2000:]
+        lines = [
+            json.loads(l) for l in out.stdout.splitlines()
+            if l.startswith("{")
+        ]
+        assert len(lines) >= 2, out.stdout
+        rec = lines[-1]
+        for field in (
+            "metric", "value", "unit", "vs_baseline", "t_total_s",
+            "t_sweep_s", "t_io_s", "sampler", "writer", "steady",
+        ):
+            assert field in rec, field
+        assert rec["steady"] is True
+        assert rec["unit"] == "points/s" and rec["value"] > 0
+
+
 class TestOracleCache:
     def test_cache_path_under_cache_dir(self, tmp_path, monkeypatch):
         monkeypatch.setenv("GS2PC_CACHE_DIR", str(tmp_path))
